@@ -1,0 +1,224 @@
+"""Combat-log grammar: detokenize + field split + typed extraction.
+
+Two execution paths, bit-identical outputs:
+
+* ``detokenize_lines`` — the only mandatory Python hop: ISO-8859-1 byte
+  tokens -> line string, as an Arrow-vectorized pandas UDF (one bulk
+  buffer decode per batch, not per-row Python).
+* ``parse_lines`` — everything after detokenization is **native Spark SQL**
+  (split / substring / regexp_extract / contains), so the whole parse stage
+  sits inside WholeStageCodegen and Catalyst can prune/push down freely.
+  A pandas-UDF grok alternative (``parse_lines_pandas``) exists for A/B
+  benchmarking; the native path is the default (it benches faster and keeps
+  the JVM pipeline unbroken).
+
+Field semantics mirror the reference's csv split on ']' with
+skipinitialspace (reference main.py:116-118) and its quirky slicing:
+names keep their trailing space after "split('{',1)[0]" (main.py:154-156),
+amounts take the leading digits of the first token (main.py:156-162),
+threat is the text between the first '<' and '>' (main.py:257-261).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import (
+    ABSORB,
+    DAMAGE,
+    DEATH,
+    DEFLECT,
+    DODGE,
+    ENTER_COMBAT,
+    FORCE_ARMOR,
+    HEAL,
+    LEAVE_COMBAT,
+    MISS,
+    NO_DAMAGE,
+    PARRY,
+    PLAYER_TAG,
+    RESIST,
+    REVIVE,
+    SHIELD,
+)
+
+# ------------------------------------------------------------------ detokenize
+
+
+@F.pandas_udf(T.StringType())
+def _detok_udf(tokens: pd.Series) -> pd.Series:
+    """array<int> byte tokens -> str via one bulk latin-1 decode per batch.
+
+    Concatenates all token arrays of the Arrow batch into a single uint8
+    buffer, decodes once, then slices per row — no per-row Python decode.
+    """
+    arrays = tokens.to_numpy()
+    if len(arrays) == 0:
+        return pd.Series([], dtype=object)
+    lens = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+    if lens.sum() == 0:
+        return pd.Series([""] * len(arrays))
+    flat = np.concatenate([np.asarray(a, dtype=np.uint8) for a in arrays])
+    blob = flat.tobytes().decode("iso-8859-1")
+    offs = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return pd.Series([blob[offs[i]:offs[i + 1]] for i in range(len(arrays))])
+
+
+def detokenize_lines(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Add a ``line`` column decoded from the byte-token array."""
+    return df.withColumn("line", _detok_udf(F.col(tokens_col)))
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def retokenize_udf(lines: pd.Series) -> pd.Series:
+    """Inverse of detokenize — used by the per-row token-equality invariant."""
+    return lines.map(lambda s: list(s.encode("iso-8859-1")))
+
+
+# ------------------------------------------------------- native field parsing
+
+
+def _pre_brace(col: Column) -> Column:
+    """x.split('{', 1)[0] — keeps the trailing space, like the reference."""
+    return F.split(col, "\\{", 2).getItem(0)
+
+
+def split_fields(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Split a raw line into the six csv fields.
+
+    Mirrors csv.reader(delimiter=']', skipinitialspace=True): split on every
+    ']', take the first six parts, strip leading spaces from parts 1..5.
+    """
+    parts = F.split(F.col(line_col), "\\]")
+    out = df.withColumn("_parts", parts)
+    names = ["time_raw", "src_raw", "tgt_raw", "skill_raw", "effect_raw", "amount_raw"]
+    for i, n in enumerate(names):
+        c = F.col("_parts").getItem(i)
+        if i > 0:
+            c = F.ltrim(c)  # skipinitialspace strips spaces after the delimiter
+        out = out.withColumn(n, c)
+    return out.drop("_parts")
+
+
+def with_typed_columns(df: DataFrame) -> DataFrame:
+    """Derive every typed/flag column the downstream plan consumes.
+
+    All expressions are JVM-side; substring-containment semantics match the
+    reference dispatch exactly (main.py:315-327).
+    """
+    amount = F.col("amount_raw")
+    effect = F.col("effect_raw")
+    first_tok = F.regexp_extract(amount, r"^\((\S+)", 1)
+    out = (
+        df
+        # --- names (reference slicing quirks preserved)
+        .withColumn("time_str", F.expr("substring(time_raw, 2)"))
+        .withColumn("src_name", _pre_brace(F.expr("substring(src_raw, 2)")))
+        .withColumn("src_player", F.expr("substring(src_raw, 3)"))
+        .withColumn("tgt_name", _pre_brace(F.expr("substring(tgt_raw, 2)")))
+        .withColumn("skill", _pre_brace(F.expr("substring(skill_raw, 2)")))
+        # --- amount grammar
+        .withColumn("amount", F.regexp_extract(first_tok, r"^(\d+)", 1)
+                    .try_cast("long"))
+        .withColumn("crit", first_tok.rlike(r"^\d+\*"))
+        .withColumn("dmg_type", F.regexp_extract(amount, r"^\(\S+\s+(\S+)", 1))
+        .withColumn("absorbed", F.regexp_extract(amount, r"^\([^(]*\((\d+)", 1)
+                    .try_cast("long"))
+        .withColumn("threat", F.regexp_extract(amount, r"<([^>]*)>", 1)
+                    .try_cast("long"))
+        .withColumn("has_threat", amount.contains("<"))
+        # --- effect flags
+        .withColumn("is_enter", effect.contains(ENTER_COMBAT))
+        .withColumn("is_leave", effect.contains(LEAVE_COMBAT))
+        .withColumn("is_death", effect.contains(DEATH))
+        .withColumn("is_damage", effect.contains(DAMAGE))
+        .withColumn("is_heal_eff", effect.contains(HEAL))
+        .withColumn("is_fa", effect.contains(FORCE_ARMOR))
+        # --- mitigation flags (amount field)
+        .withColumn("m_miss", amount.contains(MISS))
+        .withColumn("m_absorb", amount.contains(ABSORB))
+        .withColumn("m_resist", amount.contains(RESIST))
+        .withColumn("m_dodge", amount.contains(DODGE) | amount.contains(PARRY)
+                    | amount.contains(DEFLECT))
+        .withColumn("m_shield", amount.contains(SHIELD))
+        .withColumn("m_immune", amount.contains(NO_DAMAGE))
+        # --- misc predicates
+        .withColumn("skill_has_revive", F.col("skill_raw").contains(REVIVE))
+        .withColumn("tgt_has_at", F.col("tgt_raw").contains(PLAYER_TAG))
+    )
+    return out
+
+
+def with_identity_columns(df: DataFrame) -> DataFrame:
+    """log_id / line_no from doc_id; log date from the source filename
+    (reference main.py:112: filename.split('_', 2)[1])."""
+    return (
+        df.withColumn("log_id", F.substring_index("doc_id", ":", 1))
+        .withColumn("line_no", F.substring_index("doc_id", ":", -1).cast("long"))
+        .withColumn("log_date", F.split(F.col("source"), "_").getItem(1))
+    )
+
+
+def with_timestamp(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "ts",
+        F.to_timestamp(F.concat_ws(" ", F.col("log_date"), F.col("time_str")),
+                       "yyyy-MM-dd HH:mm:ss.SSS"),
+    )
+
+
+def parse_lines(df: DataFrame) -> DataFrame:
+    """token table (+line) -> fully typed event DataFrame (native path)."""
+    out = df
+    if "line" not in out.columns:
+        out = detokenize_lines(out)
+    out = with_identity_columns(out)
+    out = split_fields(out)
+    out = with_typed_columns(out)
+    out = with_timestamp(out)
+    return out.drop("tokens", "n_tok")
+
+
+# -------------------------------------------------- pandas grok path (A/B alt)
+
+_PARSE_OUT_SCHEMA = T.StructType([
+    T.StructField("time_raw", T.StringType()),
+    T.StructField("src_raw", T.StringType()),
+    T.StructField("tgt_raw", T.StringType()),
+    T.StructField("skill_raw", T.StringType()),
+    T.StructField("effect_raw", T.StringType()),
+    T.StructField("amount_raw", T.StringType()),
+])
+
+
+@F.pandas_udf(_PARSE_OUT_SCHEMA)
+def _grok_udf(lines: pd.Series) -> pd.DataFrame:
+    parts = lines.str.split("]", n=5, expand=True).reindex(columns=range(6))
+    # csv semantics: a 7th ']' would truncate the amount field
+    amt = parts[5].str.split("]", n=1).str[0]
+    pdf = pd.DataFrame({
+        "time_raw": parts[0],
+        "src_raw": parts[1].str.lstrip(" "),
+        "tgt_raw": parts[2].str.lstrip(" "),
+        "skill_raw": parts[3].str.lstrip(" "),
+        "effect_raw": parts[4].str.lstrip(" "),
+        "amount_raw": amt.str.lstrip(" "),
+    })
+    return pdf
+
+
+def parse_lines_pandas(df: DataFrame) -> DataFrame:
+    """Alternative: field split inside a pandas UDF (benchmark comparator)."""
+    out = df
+    if "line" not in out.columns:
+        out = detokenize_lines(out)
+    out = with_identity_columns(out)
+    out = out.withColumn("_f", _grok_udf(F.col("line"))).select("*", "_f.*").drop("_f")
+    out = with_typed_columns(out)
+    out = with_timestamp(out)
+    return out.drop("tokens", "n_tok")

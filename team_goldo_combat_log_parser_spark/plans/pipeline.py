@@ -1,0 +1,102 @@
+"""End-to-end DAG: token table -> parse -> sessionize -> route -> aggregate.
+
+One cached routed DataFrame feeds every sink and aggregate, so the
+detokenize UDF and the parse projection execute once per input row
+regardless of how many outputs are materialized (SURVEY.md par.4 item 3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import grammar
+from . import aggregate as agg
+from .route import sink_filters, with_routes
+from .sessionize import assign_fights, build_fights
+
+
+@dataclass
+class PipelineResult:
+    parsed: DataFrame
+    fights: DataFrame
+    routed: DataFrame
+    sinks: dict[str, DataFrame]
+    damage_done_skills: DataFrame
+    damage_received_skills: DataFrame
+    heal: DataFrame
+    threat: DataFrame
+    pulls: DataFrame
+    rates: DataFrame
+    extra: dict = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        self.routed.unpersist()
+        self.fights.unpersist()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    token_df: DataFrame,
+    broadcast_fights: bool = True,
+    cache: bool = True,
+    use_pandas_grok: bool = False,
+) -> PipelineResult:
+    parse = grammar.parse_lines_pandas if use_pandas_grok else grammar.parse_lines
+    parsed = parse(token_df)
+
+    fights = build_fights(parsed)
+    if cache:
+        fights = fights.cache()
+
+    assigned = assign_fights(parsed, fights, broadcast_fights=broadcast_fights)
+    routed = with_routes(assigned)
+    if cache:
+        routed = routed.persist()
+
+    sinks = sink_filters(routed)
+    dd_sk = agg.damage_done_skills(routed)
+    dd_pl = agg.damage_done_players(routed)
+    dr_sk = agg.damage_received_skills(routed)
+    dr_pl = agg.damage_received_players(routed)
+    heal = agg.heal_per_healer(routed, fights)
+    threat = agg.threat_per_player(routed, fights)
+    pulls = agg.build_pulls(fights, dd_pl)
+    rates = agg.rates(pulls, dd_pl, heal, dr_pl)
+
+    return PipelineResult(
+        parsed=parsed, fights=fights, routed=routed, sinks=sinks,
+        damage_done_skills=dd_sk, damage_received_skills=dr_sk,
+        heal=heal, threat=threat, pulls=pulls, rates=rates,
+        extra={"damage_done_players": dd_pl, "damage_received_players": dr_pl},
+    )
+
+
+def write_sinks(result: PipelineResult, out_dir: str) -> dict[str, int]:
+    """Materialize the five event sinks + aggregate tables as parquet;
+    returns per-sink row counts (the lineage/metrics record)."""
+    counts: dict[str, int] = {}
+    for name, df in result.sinks.items():
+        path = f"{out_dir}/sink_{name}"
+        df.drop("tokens").write.mode("overwrite").parquet(path)
+        counts[name] = df.count()
+    for name, df in [
+        ("pulls", result.pulls),
+        ("damage_done_skills", result.damage_done_skills),
+        ("damage_received_skills", result.damage_received_skills),
+        ("heal", result.heal),
+        ("threat", result.threat),
+    ]:
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        counts[name] = df.count()
+    return counts
+
+
+def token_equality_violations(token_df: DataFrame) -> int:
+    """Per-row invariant (BASELINE.json): retokenize(detokenize(tokens))
+    must equal tokens. Returns the number of violating rows (expect 0)."""
+    df = grammar.detokenize_lines(token_df)
+    df = df.withColumn("tokens2", grammar.retokenize_udf(F.col("line")))
+    return df.filter(F.col("tokens") != F.col("tokens2")).count()

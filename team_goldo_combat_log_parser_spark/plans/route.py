@@ -1,0 +1,102 @@
+"""Row routing: the reference dispatch table as boolean Spark columns.
+
+Reference ROW_DISPATCH_DICT (main.py:36-53) is a conjunctive-predicate ->
+handler map where a row may fire several handlers (e.g. one damage row
+fires parse_damage_done AND parse_threat). Here every handler becomes a
+boolean ``r_*`` column computed in one codegen'd projection over the
+fight-joined events; each sink is then a cheap filter over one cached DF.
+
+Subtleties preserved:
+ * ignore-pull gate (main.py:313-314): inside a duplicate fight only rows
+   whose effect contains ExitCombat/Death ids reach dispatch at all;
+ * dispatch-order interplay: parse_exit_combat runs before parse_threat,
+   so the exit row itself never accrues threat; parse_enter_combat runs
+   first, so the enter row itself is already in combat for later handlers;
+ * heal requires the *inverted* REVIVE match (main.py:45-46, 323-325);
+ * healer attribution (main.py:251-253): healer_id is the last Force-Armor
+   caster seen since the last exit (initialize_pull resets it) — expressed
+   as window functions over one (log_id, line_no) ordering, no extra
+   shuffle beyond the one partitioning by log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_routes(assigned: DataFrame) -> DataFrame:
+    """Add routing flags + healer attribution to fight-joined events."""
+    in_fight = F.col("fight_seq").isNotNull()
+    dup = F.coalesce(F.col("is_duplicate"), F.lit(False))
+    # ignore-pull gate: rows of a duplicate fight are dropped unless their
+    # effect field contains the leave/death ids. The enter row itself is
+    # always fully dispatched (the flag is set mid-row, gating later rows).
+    gate = (~dup | F.col("is_leave") | F.col("is_death")
+            | (F.col("line_no") == F.col("start_line")))
+    from_has_player = F.col("src_raw").contains(F.col("fight_player"))
+    to_has_player = F.col("tgt_raw").contains(F.col("fight_player"))
+    is_exit_row = in_fight & F.col("finished") & (F.col("line_no") == F.col("end_line"))
+
+    df = (
+        assigned
+        .withColumn("gate_open", gate)
+        .withColumn("is_exit_row", is_exit_row)
+        .withColumn("r_enter", in_fight & (F.col("line_no") == F.col("start_line")))
+        .withColumn("r_damage_done",
+                    in_fight & gate & F.col("is_damage") & from_has_player)
+        .withColumn("r_damage_received",
+                    in_fight & gate & F.col("is_damage") & to_has_player)
+        .withColumn("r_heal",
+                    in_fight & gate & F.col("is_heal_eff") & from_has_player
+                    & ~F.col("skill_has_revive"))
+        .withColumn("r_exit", is_exit_row)
+        .withColumn("r_threat",
+                    in_fight & gate & F.col("has_threat") & from_has_player
+                    & ~is_exit_row)
+        # Force-Armor tracking fires regardless of combat state (no
+        # in_combat condition, main.py:43-44) but is still behind the
+        # ignore-pull gate when inside a duplicate fight.
+        .withColumn("r_fa",
+                    F.col("is_fa") & F.col("tgt_has_at")
+                    & (~in_fight | gate))
+    )
+
+    # healer-as-of: one window partitioning (log_id, ordered by line_no)
+    # shared by all three functions -> a single exchange+sort.
+    w = Window.partitionBy("log_id").orderBy("line_no")
+    w_cur = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    fa_caster = F.when(F.col("r_fa"), F.col("src_player"))
+    fa_line = F.when(F.col("r_fa"), F.col("line_no"))
+    last_exit = F.max(F.when(F.col("is_exit_row"), F.col("line_no"))).over(w_prev)
+    df = (
+        df.withColumn("_h_name", F.last(fa_caster, ignorenulls=True).over(w_cur))
+        .withColumn("_h_line", F.last(fa_line, ignorenulls=True).over(w_cur))
+        .withColumn("_last_exit", last_exit)
+        .withColumn(
+            "healer_id",
+            F.when(
+                F.col("_h_line").isNotNull()
+                & (F.col("_last_exit").isNull()
+                   | (F.col("_h_line") > F.col("_last_exit"))),
+                F.col("_h_name"),
+            ),
+        )
+        .drop("_h_name", "_h_line", "_last_exit")
+    )
+    return df
+
+
+def sink_filters(routed: DataFrame) -> dict[str, DataFrame]:
+    """Per-event-type fan-out (SURVEY.md S7): five filtered views of one
+    cached routed DF — the parse UDF runs once, not five times."""
+    eff = F.col("effect_raw")
+    return {
+        "damage": routed.filter(F.col("r_damage_done") | F.col("r_damage_received")),
+        "heal": routed.filter(F.col("r_heal")),
+        "cast_event": routed.filter(eff.contains("Event {")),
+        "aura": routed.filter(eff.contains("ApplyEffect {")
+                              | eff.contains("RemoveEffect {")),
+        "death": routed.filter(F.col("is_death")),
+    }
