@@ -98,10 +98,14 @@ def split_fields(df: DataFrame, line_col: str = "line") -> DataFrame:
     out = df.withColumn("_parts", parts)
     names = ["time_raw", "src_raw", "tgt_raw", "skill_raw", "effect_raw", "amount_raw"]
     for i, n in enumerate(names):
-        c = F.col("_parts").getItem(i)
+        # F.get (not getItem): a malformed line with <6 fields must yield
+        # null, not an ANSI ArrayIndexOutOfBounds that kills the job.
+        c = F.get(F.col("_parts"), i)
         if i > 0:
             c = F.ltrim(c)  # skipinitialspace strips spaces after the delimiter
-        out = out.withColumn(n, c)
+        # downstream substring predicates want deterministic non-null input:
+        # a missing field matches nothing (the reference would just crash)
+        out = out.withColumn(n, F.coalesce(c, F.lit("")))
     return out.drop("_parts")
 
 
