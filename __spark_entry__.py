@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -> flagship: the full combat-log DAG (parse -> sessionize
+                     -> route -> aggregate) over the deterministic corpus,
+                     returning the pulls table.
+queries()         -> one callable per implemented operator (SURVEY.md par.2
+                     plus the training-data ops). Combat-grammar queries
+                     synthesize their token-table input deterministically
+                     (seeded; input shape per BASELINE.json input_hint) —
+                     they carry no oracle_sql and get rows-only checks;
+                     their value parity is asserted in tests/ against the
+                     sequential oracle instead.
+oracle_sql()      -> DuckDB-equivalent SQL for every relational / text /
+                     similarity operator (exact value parity via DECIMAL
+                     arithmetic and string-formatted timestamps).
 """
 
 from __future__ import annotations
@@ -12,27 +20,88 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from team_goldo_combat_log_parser_spark.operators import relational, similarity, text
+from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
+from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+
+def _combat_corpus() -> list[tuple[str, list[str]]]:
+    """Deterministic combat-log corpus: golden fixture log + synthetic raid
+    logs + adversarial edge cases (seeded, no wall clock)."""
+    fixture_log = (
+        "combat_2012-06-06_20_33_20_fixture.txt",
+        [dg.enter_combat_line("21:00:00.000", dg.PLAYER),
+         *dg.fixture_lines().values(),
+         dg.exit_combat_line("23:59:00.000", dg.PLAYER)],
+    )
+    return [fixture_log,
+            *dg.synth_corpus(dg.GenConfig(n_logs=4, fights_per_log=3,
+                                          rows_per_fight=150, seed=42)),
+            *dg.adversarial_logs()]
+
+
+def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = run_pipeline(spark, dg.token_df(spark, _combat_corpus()),
+                           cache=False)
+        frames = {
+            "pulls": lambda: res.pulls.select(
+                "log_id", "fight_seq",
+                F.date_format("pull_start", "yyyy-MM-dd HH:mm:ss.SSS")
+                .alias("pull_start"),
+                F.date_format("pull_stop", "yyyy-MM-dd HH:mm:ss.SSS")
+                .alias("pull_stop"),
+                "target", F.col("players_set").getItem(0).alias("player"),
+                "n_players", "total_damage", "duration_s"),
+            "damage_done_skills": lambda: res.damage_done_skills,
+            "damage_received_skills": lambda: res.damage_received_skills,
+            "heal": lambda: res.heal,
+            "threat": lambda: res.threat,
+            "rates": lambda: res.rates.select(
+                "log_id", "fight_seq", "player",
+                F.round("dps", 6).alias("dps"),
+                F.round("hps", 6).alias("hps"),
+                F.round("dtps", 6).alias("dtps")),
+            "route_counts": lambda: res.routed.select(
+                *[F.sum(F.col(c).cast("int")).alias(c)
+                  for c in ["r_enter", "r_damage_done", "r_damage_received",
+                            "r_fa", "r_heal", "r_exit", "r_threat"]]),
+        }
+        out = frames[which]()
+        order = [c for c in ("log_id", "fight_seq", "player", "skill",
+                             "attacker", "healer") if c in out.columns]
+        return out.orderBy(*order) if order else out
+    return q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end combat pipeline -> pulls (plus a sanity scan of
+    the sf0.001 star schema so the driver's parquet path is exercised)."""
+    sf_dir = "/root/testdata/sf0.001"
+    # touch the sf0.001 parquet (scan + agg) — cheap smoke of the IO path
+    _ = relational.load(spark, sf_dir, "lineitem").count()
+    return _combat("pulls")(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(text.QUERIES)
+    out.update(similarity.QUERIES)
+    for name in ("pulls", "damage_done_skills", "damage_received_skills",
+                 "heal", "threat", "rates", "route_counts"):
+        out[f"combat_{name}"] = _combat(name)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE_SQL)
+    out.update(text.ORACLE_SQL)
+    out.update(similarity.ORACLE_SQL)
+    # combat_* entries intentionally absent: their input is the synthesized
+    # token table, not the pre-registered views; value parity is enforced by
+    # tests/test_e2e_oracle.py against the sequential reference oracle.
+    return out

@@ -1,0 +1,402 @@
+"""Generic relational operators, DuckDB-cross-checkable.
+
+Each combat-pipeline operator family (SURVEY.md par.2) has a counterpart
+here expressed over the driver's TPC-H-ish tables, so the exact same Spark
+patterns (conditional hash aggregation, window sessionization, broadcast
+enrich joins, window dedup, as-of carry-forward, top-k, pivot, collect_set)
+are verified value-for-value against an independent SQL engine.
+
+Numeric discipline: aggregates are computed in DECIMAL (exact, order-
+independent) and only cast to DOUBLE at the end, so Spark and DuckDB hash
+identically despite parallel summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------- aggregation
+
+
+def q1_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the damage-done rollup analogue (A2/A3):
+    conditional counts + exact sums per low-cardinality key."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                      - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+            .alias("big_qty_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def route_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispatch-table routing (P1): boolean route flags -> per-sink counts."""
+    ev = load(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    is_buy = F.col("event_type") == "purchase"
+    big = F.col("value") > 10.0
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((is_err & big).cast("int")).alias("big_errors"),
+            F.sum((is_buy & big).cast("int")).alias("big_purchases"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """players_set analogue (A9): distinct-set aggregation, deterministic."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("s_name")), "|")
+            .alias("suppliers"),
+            F.countDistinct("s_name").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def minmax_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fight start/stop analogue (A11): min/max timestamps per group."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("month_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+
+def broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash-join enrichment (J1/J2): fact x small dims."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def customer_order_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: 3-way join + agg + deterministic top-k (O1 + limit)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                     - _dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------------- windows
+
+
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (A1 analogue): gap>30min starts a new session —
+    running-sum window, the same construct that derives fight ids."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is
+    # a no-op reinterpretation matching DuckDB's epoch_us on naive ts
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("session_id",
+                         F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def asof_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Healer-attribution shape (J5): last signup ts at-or-before each
+    purchase per user — as-of join as a carry-forward window."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    signup_ts = F.max(F.when(F.col("event_type") == "signup",
+                             F.col("ts"))).over(w)
+    return (
+        ev.withColumn("last_signup_ts", signup_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+                F.date_format("last_signup_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("last_signup_s"))
+        .orderBy("event_id")
+    )
+
+
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pull suppression shape (J4): keep the first row per key
+    in a deterministic order (window dedup)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .orderBy("o_custkey")
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (report-layer sort/limit)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+def running_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threat-accumulation shape (A7): exact running sum per user."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("running_value",
+                      F.sum(_dec("value")).over(w).cast("double"))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("event_id")
+    )
+
+
+# ------------------------------------------------------------ pivot / unpivot
+
+
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gviz table pivot analogue (O4)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dict->rows unpivot (O4): wide metrics to long format via stack."""
+    c = load(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+    )
+    return (
+        agg.selectExpr(
+            "c_mktsegment",
+            "stack(2, 'n_customers', cast(n_customers as double), "
+            "'total_balance', total_balance) as (metric, value)")
+        .orderBy("c_mktsegment", "metric")
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               COUNT(*) AS count_order,
+               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "route_fanout_counts": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' AND value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_errors,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "collect_set_sorted": """
+        SELECT n_name,
+               string_agg(DISTINCT s_name, '|' ORDER BY s_name) AS suppliers,
+               COUNT(DISTINCT s_name) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "minmax_month_rollup": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
+        FROM orders GROUP BY 1 ORDER BY month
+    """,
+    "broadcast_enrich_revenue": """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+    "customer_order_join_topk": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "sessionize_gap": """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        )
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    "asof_carry_forward": """
+        WITH x AS (
+          SELECT event_id, user_id, ts, event_type,
+                 MAX(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+          FROM events
+        )
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+               strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup_s
+        FROM x WHERE event_type = 'purchase' ORDER BY event_id
+    """,
+    "dedup_first_wins": """
+        SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "topk_per_group": """
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+    """,
+    "running_value_sum": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM events ORDER BY event_id
+    """,
+    "pivot_status_counts": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "unpivot_stack": """
+        WITH a AS (
+          SELECT c_mktsegment, COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+          FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, metric, value FROM (
+          SELECT c_mktsegment, 'n_customers' AS metric,
+                 CAST(n_customers AS DOUBLE) AS value FROM a
+          UNION ALL
+          SELECT c_mktsegment, 'total_balance', total_balance FROM a
+        ) ORDER BY c_mktsegment, metric
+    """,
+}
+
+QUERIES = {
+    "q1_pricing_rollup": q1_pricing_rollup,
+    "route_fanout_counts": route_fanout_counts,
+    "collect_set_sorted": collect_set_sorted,
+    "minmax_month_rollup": minmax_month_rollup,
+    "broadcast_enrich_revenue": broadcast_enrich_revenue,
+    "customer_order_join_topk": customer_order_join_topk,
+    "sessionize_gap": sessionize_gap,
+    "asof_carry_forward": asof_carry_forward,
+    "dedup_first_wins": dedup_first_wins,
+    "topk_per_group": topk_per_group,
+    "running_value_sum": running_value_sum,
+    "pivot_status_counts": pivot_status_counts,
+    "unpivot_stack": unpivot_stack,
+}

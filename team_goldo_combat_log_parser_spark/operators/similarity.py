@@ -1,0 +1,252 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+array<float>, label).
+
+Brute-force cosine top-k is the exactness baseline (DuckDB-oracled, with
+DECIMAL dot products so both engines sum exactly and hash identically);
+the LSH-bucketed variant is the scale path: random-hyperplane signatures
+turn the all-pairs search into an equi-join on (band, signature), the
+same banding trick as MinHash-LSH for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import load
+
+N_QUERIES = 10  # vec_id < N_QUERIES form the query set
+TOP_K = 5
+
+
+def _dot_decimal_pairs(q: DataFrame, e: DataFrame) -> DataFrame:
+    """Exact decimal dot products between query and candidate vectors.
+    Elements are cast to DECIMAL(18,9) before multiply/sum, which makes the
+    result independent of summation order (and engine)."""
+    pairs = q.crossJoin(e).filter(F.col("qid") != F.col("vec_id"))
+    prod = F.zip_with(
+        "qv", "embedding",
+        lambda a, b: a.cast("decimal(18,9)") * b.cast("decimal(18,9)"))
+    # the merge lambda re-casts to keep the accumulator type fixed at
+    # decimal(38,18) — decimal addition otherwise widens and fails analysis
+    dot = F.aggregate(
+        prod, F.lit(0).cast("decimal(38,18)"),
+        lambda acc, x: (acc + x).cast("decimal(38,18)"))
+    return pairs.withColumn("dot", dot)
+
+
+def _norm_decimal(col: str):
+    sq = F.transform(col, lambda x: x.cast("decimal(18,9)") * x.cast("decimal(18,9)"))
+    return F.aggregate(sq, F.lit(0).cast("decimal(38,18)"),
+                       lambda a, x: (a + x).cast("decimal(38,18)"))
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors."""
+    e = load(spark, sf_dir, "embeddings").withColumn("norm2", _norm_decimal("embedding"))
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 F.col("norm2").alias("qnorm2")))
+    scored = (
+        _dot_decimal_pairs(q, F.broadcast(e).drop("label"))
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("qnorm2").cast("double"))
+               * F.sqrt(F.col("norm2").cast("double"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    # floor(x*1e6) instead of round(): round() tie-breaking on doubles
+    # differs between engines; floor of identical doubles is identical.
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.floor(F.col("cosine") * 1e6).alias("cosine_e6"))
+        .orderBy("qid", "rank")
+    )
+
+
+def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label among the top-k neighbors
+    (ties broken by smaller label id)."""
+    topk = emb_cosine_topk(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("predicted_label"),
+                F.col("n").alias("votes"))
+        .orderBy("qid")
+    )
+
+
+# --------------------------------------------------- LSH-bucketed ANN (scale)
+
+N_PLANES = 16
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, no wall clock)."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(N_PLANES):
+        v = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            v.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(v)
+    return planes
+
+
+def emb_lsh_ann(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 16-bit sign signature,
+    4 bands x 4 bits; candidates share a band value with a query, then
+    exact cosine re-ranks candidates only. At 10^9+ vectors the banding
+    join replaces the cross join; everything else is unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(dim)
+    sign_bits = []
+    for i, pl in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with("embedding", F.array(*[F.lit(x) for x in pl]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sign_bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = e.withColumn("sig", sum(sign_bits).cast("long"))
+
+    bands = []
+    for bnd in range(4):
+        bands.append(sig.select(
+            "vec_id", "embedding", "sig", F.lit(bnd).alias("band"),
+            F.shiftright("sig", bnd * 4).bitwiseAND(F.lit(0xF)).alias("bkey")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+
+    q = (banded.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+                 "band", "bkey"))
+    cand = (
+        q.join(banded.select("vec_id", "embedding", "band", "bkey"),
+               ["band", "bkey"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "qv", "vec_id", "embedding")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qn = F.sqrt(F.aggregate(F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x))
+    en = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x))
+    scored = cand.withColumn("cosine", dot / (qn * en))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.floor(F.col("cosine") * 1e6).alias("cosine_e6"))
+        .orderBy("qid", "rank")
+    )
+
+
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: count + exact decimal mean-norm stats (sanity rollup)."""
+    e = load(spark, sf_dir, "embeddings")
+    n2 = _norm_decimal("embedding").cast("double")
+    return (
+        e.withColumn("norm", F.round(F.sqrt(n2), 6))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.min("norm"), 6).alias("min_norm"),
+             F.round(F.max("norm"), 6).alias("max_norm"))
+        .orderBy("label")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "emb_cosine_topk": f"""
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 (SELECT SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+                  FROM (SELECT unnest(embedding) AS x) t) AS norm2
+          FROM embeddings
+        ), pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+                 (SELECT SUM(CAST(a AS DECIMAL(18,9)) * CAST(b AS DECIMAL(18,9)))
+                  FROM (SELECT unnest(q.embedding) AS a, unnest(e.embedding) AS b) t) AS dot,
+                 q.norm2 AS qn2, e.norm2 AS en2
+          FROM n q JOIN n e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+        ), scored AS (
+          SELECT qid, neighbor_id,
+                 CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(en2 AS DOUBLE))) AS cosine
+          FROM pairs
+        )
+        SELECT qid, rank, neighbor_id,
+               CAST(FLOOR(cosine * 1e6) AS BIGINT) AS cosine_e6 FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K} ORDER BY qid, rank
+    """,
+    "emb_knn_label_vote": f"""
+        WITH n AS (
+          SELECT vec_id, label, embedding,
+                 (SELECT SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+                  FROM (SELECT unnest(embedding) AS x) t) AS norm2
+          FROM embeddings
+        ), scored AS (
+          SELECT q.vec_id AS qid, e.vec_id AS neighbor_id, e.label,
+                 CAST((SELECT SUM(CAST(a AS DECIMAL(18,9)) * CAST(b AS DECIMAL(18,9)))
+                       FROM (SELECT unnest(q.embedding) AS a, unnest(e.embedding) AS b) t) AS DOUBLE) /
+                 (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(e.norm2 AS DOUBLE))) AS cosine
+          FROM n q JOIN n e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+        ), topk AS (
+          SELECT qid, label FROM (
+            SELECT qid, label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+          ) WHERE rank <= {TOP_K}
+        ), votes AS (
+          SELECT qid, label, COUNT(*) AS n FROM topk GROUP BY 1, 2
+        )
+        SELECT qid, predicted_label, votes FROM (
+          SELECT qid, label AS predicted_label, n AS votes,
+                 row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+          FROM votes
+        ) WHERE rn = 1 ORDER BY qid
+    """,
+    "emb_label_centroid_sim": """
+        WITH n AS (
+          SELECT label,
+                 ROUND(sqrt(CAST((SELECT SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+                                  FROM (SELECT unnest(embedding) AS x) t) AS DOUBLE)), 6) AS norm
+          FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vecs,
+               ROUND(MIN(norm), 6) AS min_norm,
+               ROUND(MAX(norm), 6) AS max_norm
+        FROM n GROUP BY label ORDER BY label
+    """,
+}
+
+QUERIES = {
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_knn_label_vote": emb_knn_label_vote,
+    "emb_label_centroid_sim": emb_label_centroid_sim,
+    # rows-only: approximate path, recall checked in pytest vs brute force
+    "emb_lsh_ann": emb_lsh_ann,
+}

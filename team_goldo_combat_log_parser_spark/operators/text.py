@@ -1,0 +1,349 @@
+"""Training-data text operators over the `documents` table.
+
+Deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash), quality
+scoring, token counting, language guessing, and fingerprinting — the
+operations a large-scale training-data pipeline runs next to a log
+pipeline. SQL-expressible ones carry DuckDB oracles (ORACLE_SQL);
+hash-sketch ones (MinHash, SimHash) are verified in pytest against exact
+Jaccard instead (the driver records rows-only checks for them).
+
+Scale notes: every operator is a scan + explode + hash-aggregate —
+shingling fans out rows but partial aggregation collapses them map-side;
+LSH banding turns the O(n^2) pair search into an equi-join on
+(band, signature), which is the only shuffle that matters at 10^12 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import load
+
+STOPWORDS_RE = r"\b(the|a|and|of|to|data|value|row)\b"
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the smallest doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char check."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("len_chars"),
+    ).orderBy("doc_id")
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword density + length band (heuristic filter)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stops = F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORDS_RE), 0))
+    score = F.round(stops.cast("double") / toks.cast("double"), 6)
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        stops.alias("n_stopwords"),
+        score.alias("stop_ratio"),
+        (toks.between(20, 400)).cast("int").alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+LANG_MARKERS = [
+    ("fr", r"\b(le|la|et|les|des)\b"),
+    ("es", r"\b(el|los|las|una|del)\b"),
+    ("de", r"\b(der|die|und|das|ein)\b"),
+]
+
+
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: first marker-set with >=2 hits wins, else en.
+    Agreement with the labeled `lang` column is reported per language."""
+    d = load(spark, sf_dir, "documents")
+    guess = F.lit("en")
+    for lang, pat in reversed(LANG_MARKERS):
+        hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        guess = F.when(hits >= 2, F.lit(lang)).otherwise(guess)
+    return (
+        d.withColumn("guess", guess)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum((F.col("guess") == F.col("lang")).cast("int"))
+             .alias("n_correct"))
+        .orderBy("lang")
+    )
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct character n-gram shingles per doc (explode + substring)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+    return (
+        d.select("doc_id", "source", F.explode(idx).alias("i"), "text")
+        .select("doc_id", "source",
+                F.substring(F.col("text"), F.col("i"), n).alias("sh"))
+        .distinct()
+    )
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                            threshold: float = 0.62) -> DataFrame:
+    """Near-dup candidate pairs by exact character-3-gram Jaccard within a
+    source partition. The self-join is equi-keyed on (source, shingle);
+    at scale the same plan runs per source bucket."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("b"), F.col("source").alias("source_b"),
+                  F.col("sh").alias("sh_b"))
+    common = (
+        a.join(b, (F.col("source") == F.col("source_b"))
+               & (F.col("sh") == F.col("sh_b")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "a")
+              .withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("jaccard",
+                    F.round(F.col("common").cast("double")
+                            / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "common", "jaccard")
+        .orderBy("a", "b")
+    )
+    return out
+
+
+# ------------------------------------------------------- hash-sketch dedup
+
+MINHASH_K = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+# Mersenne prime 2^31-1: a*h stays under 2^62, so the affine permutation
+# never overflows a Spark LongType (ANSI mode would throw on overflow).
+_P = (1 << 31) - 1
+# seeded affine permutations (deterministic, no wall clock)
+_AB = [(((17 + 13 * i) * 2654435761) % _P or 1, ((23 + 7 * i) * 40503) % _P)
+       for i in range(MINHASH_K)]
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature per doc: shingle -> xxhash64 -> k affine
+    permutations -> per-permutation min (one shuffle, k min-aggregates)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    h = (F.xxhash64("sh").bitwiseAND(F.lit((1 << 31) - 1))).alias("h")
+    base = sh.select("doc_id", h)
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_AB)
+    ]
+    return base.groupBy("doc_id").agg(*mins)
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: equal 4-row band signature in any of 8 bands ->
+    candidate pair. Returns candidates with estimated similarity (fraction
+    of matching minhashes)."""
+    sig = doc_minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = []
+    for bnd in range(MINHASH_BANDS):
+        cols = [F.col(f"mh{bnd * rows_per_band + j}")
+                for j in range(rows_per_band)]
+        bands.append(sig.select(
+            "doc_id", F.lit(bnd).alias("band"),
+            F.xxhash64(*cols).alias("bsig")))
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    cand = (
+        banded.alias("x").join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col("doc_id").alias("a"),
+                       *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sig_b = sig.select(F.col("doc_id").alias("b"),
+                       *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+              for i in range(MINHASH_K)) / F.lit(float(MINHASH_K))
+    return (
+        cand.join(sig_a, "a").join(sig_b, "b")
+        .select("a", "b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def doc_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side:
+    token -> xxhash64 -> per-bit +/- vote -> sign vector -> u64."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+"))
+                 .alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(63)  # bit 63 unused (1<<63 overflows a signed long)
+    ]
+    v = toks.groupBy("doc_id").agg(*votes)
+    bits = sum(
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        for i in range(63)  # bit 63 omitted: keep the result a positive long
+    )
+    return v.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+
+
+def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str,
+                           max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked
+    by 16-bit chunks (a pair within distance d<=3 shares at least one of 4
+    exact chunks; pigeonhole blocking keeps the join equi-keyed)."""
+    sh = doc_simhash64(spark, sf_dir).cache()
+    chunks = [
+        sh.select("doc_id", "simhash", F.lit(c).alias("chunk"),
+                  F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                  .alias("ckey"))
+        for c in range(4)
+    ]
+    blocked = chunks[0]
+    for c in chunks[1:]:
+        blocked = blocked.unionByName(c)
+    pairs = (
+        blocked.alias("x").join(
+            blocked.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+    return pairs
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling winnowed hashes — the smallest 4
+    xxhash64 values over the doc's 8-gram shingles (a stable content id)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, n=8)
+    w = Window.partitionBy("doc_id").orderBy(F.xxhash64("sh"), "sh")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.xxhash64("sh"))).alias("fp"))
+        .select("doc_id", F.concat_ws("|", F.transform(
+            "fp", lambda x: x.cast("string"))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_exact_dedup": """
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_doc_id
+    """,
+    "doc_token_stats": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                 AS n_distinct_tokens,
+               length(text) AS len_chars
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_quality_score": """
+        WITH x AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 len(regexp_extract_all(text,
+                     '\\b(the|a|and|of|to|data|value|row)\\b')) AS n_stopwords
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, n_stopwords,
+               ROUND(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 AS stop_ratio,
+               CAST(n_tokens BETWEEN 20 AND 400 AS INT) AS len_ok
+        FROM x ORDER BY doc_id
+    """,
+    "doc_lang_guess": """
+        WITH g AS (
+          SELECT lang,
+                 CASE
+                   WHEN len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')) >= 2 THEN 'fr'
+                   WHEN len(regexp_extract_all(text, '\\b(el|los|las|una|del)\\b')) >= 2 THEN 'es'
+                   WHEN len(regexp_extract_all(text, '\\b(der|die|und|das|ein)\\b')) >= 2 THEN 'de'
+                   ELSE 'en' END AS guess
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_correct
+        FROM g GROUP BY lang ORDER BY lang
+    """,
+    "doc_ngram_jaccard_pairs": """
+        WITH idx AS (
+          SELECT doc_id, source, text,
+                 unnest(generate_series(1, greatest(length(text) - 2, 1)))
+                   AS i
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, source, substring(text, i, 3) AS sh
+          FROM idx
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+          FROM sh x JOIN sh y
+            ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, common,
+               ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+                 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.62
+        ORDER BY a, b
+    """,
+}
+
+QUERIES = {
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_score": doc_quality_score,
+    "doc_lang_guess": doc_lang_guess,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    # rows-only (hash-sketch) — verified in pytest against exact Jaccard
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_simhash_near_pairs": doc_simhash_near_pairs,
+    "doc_fingerprint": doc_fingerprint,
+}

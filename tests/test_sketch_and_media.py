@@ -1,0 +1,120 @@
+"""Validation for the non-SQL-oracled operators:
+
+* MinHash-LSH and SimHash near-dup detection: recall vs exact Jaccard on a
+  constructed corpus with known near-duplicates.
+* LSH-ANN: recall vs brute-force cosine on the real embeddings table.
+* Multimodal plumbing: schema/batch correctness and determinism of the
+  stubbed decode path.
+"""
+
+import numpy as np
+import pytest
+
+from team_goldo_combat_log_parser_spark.operators import multimodal, similarity, text
+
+WORDS = ("spark scan hash join filter table row batch window merge sort "
+         "column value stream query data small big fast slow").split()
+
+
+def _make_docs(spark, tmp_path):
+    """60 docs in 3 sources; docs 3k+1 are near-copies of 3k (one word
+    changed), docs 3k+2 are unrelated."""
+    rng = np.random.RandomState(7)
+    rows = []
+    did = 0
+    for s in range(3):
+        for g in range(10):
+            base = " ".join(rng.choice(WORDS, 60))
+            near = base.split()
+            near[17] = "mutated"
+            near = " ".join(near)
+            other = " ".join(rng.choice(WORDS, 60))
+            for txt in (base, near, other):
+                rows.append((did, txt, "en", f"src{s}", len(txt)))
+                did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def near_dup_dir(spark, tmp_path_factory):
+    return _make_docs(spark, tmp_path_factory.mktemp("neardup"))
+
+
+def test_minhash_lsh_recall(spark, near_dup_dir):
+    exact = {(r["a"], r["b"]): r["jaccard"]
+             for r in text.doc_ngram_jaccard_pairs(spark, near_dup_dir,
+                                                   threshold=0.7).collect()}
+    assert len(exact) >= 20  # the constructed near-copies
+    cand = {(r["a"], r["b"]): r["est_jaccard"]
+            for r in text.doc_minhash_lsh_pairs(spark, near_dup_dir).collect()}
+    found = sum(1 for k in exact if k in cand)
+    recall = found / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+    # estimates should correlate: every found true pair estimated high
+    for k in exact:
+        if k in cand:
+            assert cand[k] >= 0.4
+
+
+def test_simhash_near_pairs(spark, near_dup_dir):
+    pairs = {(r["a"], r["b"]) for r in
+             text.doc_simhash_near_pairs(spark, near_dup_dir,
+                                         max_hamming=10).collect()}
+    # near-copies differ by one token out of 60 -> tiny hamming distance
+    expect = {(3 * k, 3 * k + 1) for k in range(30)}
+    found = len(pairs & expect)
+    assert found / len(expect) >= 0.9, f"simhash recall {found / len(expect)}"
+
+
+def test_fingerprint_identity(spark, near_dup_dir):
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in text.doc_fingerprint(spark, near_dup_dir).collect()}
+    assert len(set(fp.values())) > 1
+    # deterministic across runs
+    fp2 = {r["doc_id"]: r["fingerprint"]
+           for r in text.doc_fingerprint(spark, near_dup_dir).collect()}
+    assert fp == fp2
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf01):
+    brute = {(r["qid"], r["neighbor_id"])
+             for r in similarity.emb_cosine_topk(spark, sf01).collect()}
+    approx = {(r["qid"], r["neighbor_id"])
+              for r in similarity.emb_lsh_ann(spark, sf01).collect()}
+    recall = len(brute & approx) / len(brute)
+    # 16-bit hyperplane LSH with 4-bit bands on random vectors: modest but
+    # must be far above chance (50/500 would be ~0.1 by luck)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_media_features(spark):
+    df = multimodal.synth_media_df(spark, 48)
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 48
+    r = feats[0]
+    assert len(r["feature"]) == 8
+    assert 0.0 <= r["mean_intensity"] <= 255.0
+    # deterministic
+    feats2 = multimodal.extract_features(multimodal.synth_media_df(spark, 48)).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_media_resize_and_frames(spark):
+    df = multimodal.synth_media_df(spark, 48)
+    res = multimodal.resize_images(df).collect()
+    assert all(r["out_w"] == 16 and r["out_h"] == 16 for r in res)
+    assert len(res) == sum(1 for i in range(48) if i % 3 == 0)  # images only
+    frames = multimodal.sample_frames(df).collect()
+    assert len(frames) > 0
+    vids = {r["media_id"] for r in frames}
+    assert all(m % 3 == 2 for m in vids)  # only video rows emit frames
+
+
+def test_decode_stub_raises_without_codec():
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
