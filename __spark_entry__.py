@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from team_goldo_combat_log_parser_spark.golden.sql_oracle import (
+    combat_oracle_queries)
 from team_goldo_combat_log_parser_spark.operators import relational, similarity, text
 from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
 from team_goldo_combat_log_parser_spark.sources import datagen as dg
@@ -29,7 +31,9 @@ from team_goldo_combat_log_parser_spark.sources import datagen as dg
 
 def _combat_corpus() -> list[tuple[str, list[str]]]:
     """Deterministic combat-log corpus: golden fixture log + synthetic raid
-    logs + adversarial edge cases (seeded, no wall clock)."""
+    logs + adversarial edge cases (seeded, no wall clock). Sized so the
+    DuckDB SQL oracle (which embeds the lines as VALUES) stays manageable
+    while covering every grammar variant and edge case."""
     fixture_log = (
         "combat_2012-06-06_20_33_20_fixture.txt",
         [dg.enter_combat_line("21:00:00.000", dg.PLAYER),
@@ -37,8 +41,8 @@ def _combat_corpus() -> list[tuple[str, list[str]]]:
          dg.exit_combat_line("23:59:00.000", dg.PLAYER)],
     )
     return [fixture_log,
-            *dg.synth_corpus(dg.GenConfig(n_logs=4, fights_per_log=3,
-                                          rows_per_fight=150, seed=42)),
+            *dg.synth_corpus(dg.GenConfig(n_logs=2, fights_per_log=2,
+                                          rows_per_fight=80, seed=42)),
             *dg.adversarial_logs()]
 
 
@@ -59,11 +63,13 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
             "damage_received_skills": lambda: res.damage_received_skills,
             "heal": lambda: res.heal,
             "threat": lambda: res.threat,
+            # floor(x*1e6) as BIGINT: engine-neutral (round() tie-breaking
+            # on doubles differs between Spark and DuckDB)
             "rates": lambda: res.rates.select(
                 "log_id", "fight_seq", "player",
-                F.round("dps", 6).alias("dps"),
-                F.round("hps", 6).alias("hps"),
-                F.round("dtps", 6).alias("dtps")),
+                F.floor(F.col("dps") * 1e6).alias("dps_e6"),
+                F.floor(F.col("hps") * 1e6).alias("hps_e6"),
+                F.floor(F.col("dtps") * 1e6).alias("dtps_e6")),
             "route_counts": lambda: res.routed.select(
                 *[F.sum(F.col(c).cast("int")).alias(c)
                   for c in ["r_enter", "r_damage_done", "r_damage_received",
@@ -101,7 +107,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(text.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
-    # combat_* entries intentionally absent: their input is the synthesized
-    # token table, not the pre-registered views; value parity is enforced by
-    # tests/test_e2e_oracle.py against the sequential reference oracle.
+    # combat_* oracles: the full parser re-derived in DuckDB SQL over the
+    # same deterministic corpus embedded as VALUES (golden/sql_oracle.py) —
+    # an independent second-engine derivation, not stored constants.
+    out.update(combat_oracle_queries(_combat_corpus()))
     return out

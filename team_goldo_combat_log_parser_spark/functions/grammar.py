@@ -62,7 +62,8 @@ def _detok_udf(tokens: pd.Series) -> pd.Series:
     lens = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
     if lens.sum() == 0:
         return pd.Series([""] * len(arrays))
-    flat = np.concatenate([np.asarray(a, dtype=np.uint8) for a in arrays])
+    # one concatenate + one dtype cast for the whole batch (no per-row work)
+    flat = np.concatenate(arrays).astype(np.uint8)
     blob = flat.tobytes().decode("iso-8859-1")
     offs = np.zeros(len(arrays) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
@@ -93,10 +94,13 @@ def split_fields(df: DataFrame, line_col: str = "line") -> DataFrame:
 
     Mirrors csv.reader(delimiter=']', skipinitialspace=True): split on every
     ']', take the first six parts, strip leading spaces from parts 1..5.
+    Two single projections (not chained withColumn): one computes the split
+    array once, the next derives all six fields — O(1) plan analysis and no
+    repeated split() work per field.
     """
-    parts = F.split(F.col(line_col), "\\]")
-    out = df.withColumn("_parts", parts)
+    out = df.select("*", F.split(F.col(line_col), "\\]").alias("_parts"))
     names = ["time_raw", "src_raw", "tgt_raw", "skill_raw", "effect_raw", "amount_raw"]
+    cols = []
     for i, n in enumerate(names):
         # F.get (not getItem): a malformed line with <6 fields must yield
         # null, not an ANSI ArrayIndexOutOfBounds that kills the job.
@@ -105,8 +109,8 @@ def split_fields(df: DataFrame, line_col: str = "line") -> DataFrame:
             c = F.ltrim(c)  # skipinitialspace strips spaces after the delimiter
         # downstream substring predicates want deterministic non-null input:
         # a missing field matches nothing (the reference would just crash)
-        out = out.withColumn(n, F.coalesce(c, F.lit("")))
-    return out.drop("_parts")
+        cols.append(F.coalesce(c, F.lit("")).alias(n))
+    return out.select("*", *cols).drop("_parts")
 
 
 def with_typed_columns(df: DataFrame) -> DataFrame:
@@ -118,53 +122,59 @@ def with_typed_columns(df: DataFrame) -> DataFrame:
     amount = F.col("amount_raw")
     effect = F.col("effect_raw")
     first_tok = F.regexp_extract(amount, r"^\((\S+)", 1)
-    out = (
-        df
+    # one projection for everything: chained withColumn would re-analyze a
+    # growing plan per column (quadratic driver time on 25+ columns)
+    return df.select(
+        "*",
         # --- names (reference slicing quirks preserved)
-        .withColumn("time_str", F.expr("substring(time_raw, 2)"))
-        .withColumn("src_name", _pre_brace(F.expr("substring(src_raw, 2)")))
-        .withColumn("src_player", F.expr("substring(src_raw, 3)"))
-        .withColumn("tgt_name", _pre_brace(F.expr("substring(tgt_raw, 2)")))
-        .withColumn("skill", _pre_brace(F.expr("substring(skill_raw, 2)")))
+        F.expr("substring(time_raw, 2)").alias("time_str"),
+        _pre_brace(F.expr("substring(src_raw, 2)")).alias("src_name"),
+        F.expr("substring(src_raw, 3)").alias("src_player"),
+        _pre_brace(F.expr("substring(tgt_raw, 2)")).alias("tgt_name"),
+        _pre_brace(F.expr("substring(skill_raw, 2)")).alias("skill"),
         # --- amount grammar
-        .withColumn("amount", F.regexp_extract(first_tok, r"^(\d+)", 1)
-                    .try_cast("long"))
-        .withColumn("crit", first_tok.rlike(r"^\d+\*"))
-        .withColumn("dmg_type", F.regexp_extract(amount, r"^\(\S+\s+(\S+)", 1))
-        .withColumn("absorbed", F.regexp_extract(amount, r"^\([^(]*\((\d+)", 1)
-                    .try_cast("long"))
-        .withColumn("threat", F.regexp_extract(amount, r"<([^>]*)>", 1)
-                    .try_cast("long"))
-        .withColumn("has_threat", amount.contains("<"))
+        F.regexp_extract(first_tok, r"^(\d+)", 1).try_cast("long").alias("amount"),
+        first_tok.rlike(r"^\d+\*").alias("crit"),
+        F.regexp_extract(amount, r"^\(\S+\s+(\S+)", 1).alias("dmg_type"),
+        F.regexp_extract(amount, r"^\([^(]*\((\d+)", 1).try_cast("long")
+        .alias("absorbed"),
+        F.regexp_extract(amount, r"<([^>]*)>", 1).try_cast("long").alias("threat"),
+        amount.contains("<").alias("has_threat"),
         # --- effect flags
-        .withColumn("is_enter", effect.contains(ENTER_COMBAT))
-        .withColumn("is_leave", effect.contains(LEAVE_COMBAT))
-        .withColumn("is_death", effect.contains(DEATH))
-        .withColumn("is_damage", effect.contains(DAMAGE))
-        .withColumn("is_heal_eff", effect.contains(HEAL))
-        .withColumn("is_fa", effect.contains(FORCE_ARMOR))
+        effect.contains(ENTER_COMBAT).alias("is_enter"),
+        effect.contains(LEAVE_COMBAT).alias("is_leave"),
+        effect.contains(DEATH).alias("is_death"),
+        effect.contains(DAMAGE).alias("is_damage"),
+        effect.contains(HEAL).alias("is_heal_eff"),
+        effect.contains(FORCE_ARMOR).alias("is_fa"),
+        # verb flags (sink fan-out S7) — computed here so the persisted
+        # projection can drop the raw effect string entirely
+        effect.contains("Event {").alias("is_event_verb"),
+        effect.contains("ApplyEffect {").alias("is_apply_verb"),
+        effect.contains("RemoveEffect {").alias("is_remove_verb"),
         # --- mitigation flags (amount field)
-        .withColumn("m_miss", amount.contains(MISS))
-        .withColumn("m_absorb", amount.contains(ABSORB))
-        .withColumn("m_resist", amount.contains(RESIST))
-        .withColumn("m_dodge", amount.contains(DODGE) | amount.contains(PARRY)
-                    | amount.contains(DEFLECT))
-        .withColumn("m_shield", amount.contains(SHIELD))
-        .withColumn("m_immune", amount.contains(NO_DAMAGE))
+        amount.contains(MISS).alias("m_miss"),
+        amount.contains(ABSORB).alias("m_absorb"),
+        amount.contains(RESIST).alias("m_resist"),
+        (amount.contains(DODGE) | amount.contains(PARRY)
+         | amount.contains(DEFLECT)).alias("m_dodge"),
+        amount.contains(DODGE).alias("m_dodge_single"),
+        amount.contains(SHIELD).alias("m_shield"),
+        amount.contains(NO_DAMAGE).alias("m_immune"),
         # --- misc predicates
-        .withColumn("skill_has_revive", F.col("skill_raw").contains(REVIVE))
-        .withColumn("tgt_has_at", F.col("tgt_raw").contains(PLAYER_TAG))
+        F.col("skill_raw").contains(REVIVE).alias("skill_has_revive"),
+        F.col("tgt_raw").contains(PLAYER_TAG).alias("tgt_has_at"),
     )
-    return out
 
 
 def with_identity_columns(df: DataFrame) -> DataFrame:
     """log_id / line_no from doc_id; log date from the source filename
     (reference main.py:112: filename.split('_', 2)[1])."""
-    return (
-        df.withColumn("log_id", F.substring_index("doc_id", ":", 1))
-        .withColumn("line_no", F.substring_index("doc_id", ":", -1).cast("long"))
-        .withColumn("log_date", F.split(F.col("source"), "_").getItem(1))
+    return df.select(
+        "*",
+        F.substring_index("doc_id", ":", 1).alias("log_id"),
+        F.substring_index("doc_id", ":", -1).cast("long").alias("line_no"),
+        F.split(F.col("source"), "_").getItem(1).alias("log_date"),
     )
 
 

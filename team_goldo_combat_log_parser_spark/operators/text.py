@@ -133,7 +133,10 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
 # ------------------------------------------------------- hash-sketch dedup
 
 MINHASH_K = 32
-MINHASH_BANDS = 8  # 8 bands x 4 rows
+# 4 bands x 8 rows: near-dup recall stays high (P(hit) ~ 0.94 at J=0.9)
+# while moderately-similar pairs (J~0.4, common in templated corpora) almost
+# never collide — 4-row bands produced millions of false candidates there.
+MINHASH_BANDS = 4
 # Mersenne prime 2^31-1: a*h stays under 2^62, so the affine permutation
 # never overflows a Spark LongType (ANSI mode would throw on overflow).
 _P = (1 << 31) - 1
@@ -160,7 +163,10 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: equal 4-row band signature in any of 8 bands ->
     candidate pair. Returns candidates with estimated similarity (fraction
     of matching minhashes)."""
-    sig = doc_minhash_signatures(spark, sf_dir)
+    # cache: the signature plan (shingle explode + 32 min-aggs) feeds the 8
+    # band projections plus both sides of the estimate join — without the
+    # cache it would re-execute ten times.
+    sig = doc_minhash_signatures(spark, sf_dir).cache()
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = []
     for bnd in range(MINHASH_BANDS):

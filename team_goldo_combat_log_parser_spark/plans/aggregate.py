@@ -53,7 +53,7 @@ def damage_done_skills(routed: DataFrame) -> DataFrame:
     """
     dd = _live(routed).filter(F.col("r_damage_done") & ~F.col("m_immune"))
     zero = F.col("amount") == 0
-    dodge_only = F.col("amount_raw").contains("{836045448945505}")
+    dodge_only = F.col("m_dodge_single")
     return (
         dd.groupBy(*FIGHT_KEY, F.col("fight_player").alias("player"),
                    F.col("skill"))
@@ -247,7 +247,7 @@ def salted_agg(df: DataFrame, keys: list[str], value_col: str,
     """Exact two-phase sum for skewed keys: partial agg on (keys, salt),
     final agg on keys. Salt derives from a per-row column hash so the hot
     key's rows spread over `buckets` reducers in phase one."""
-    salted = df.withColumn("_salt", F.pmod(F.hash("line_no", "doc_id"),
+    salted = df.withColumn("_salt", F.pmod(F.hash("line_no", "log_id"),
                                            F.lit(buckets)))
     partial = (salted.groupBy(*keys, "_salt")
                .agg(F.sum(value_col).alias("_part")))

@@ -35,6 +35,7 @@ class PipelineResult:
     def unpersist(self) -> None:
         self.routed.unpersist()
         self.fights.unpersist()
+        self.parsed.unpersist()
 
 
 def run_pipeline(
@@ -46,6 +47,24 @@ def run_pipeline(
 ) -> PipelineResult:
     parse = grammar.parse_lines_pandas if use_pandas_grok else grammar.parse_lines
     parsed = parse(token_df)
+
+    # Persist the parsed events before sessionization: the fight state
+    # machine (markers pass) and the routed pass would otherwise each run
+    # the detokenize UDF over the full corpus — one Python hop, not two.
+    # The projection is the slim downstream set: every predicate that only
+    # needs a raw string is already a boolean flag, so the wide raw columns
+    # (line, effect/amount/skill/time) never enter the memory store.
+    parsed = parsed.select(
+        "log_id", "line_no", "ts", "src_raw", "tgt_raw",
+        "src_player", "src_name", "tgt_name", "skill",
+        "amount", "crit", "dmg_type", "absorbed", "threat", "has_threat",
+        "is_enter", "is_leave", "is_death", "is_damage", "is_heal_eff",
+        "is_fa", "is_event_verb", "is_apply_verb", "is_remove_verb",
+        "m_miss", "m_absorb", "m_resist", "m_dodge", "m_dodge_single",
+        "m_shield", "m_immune", "skill_has_revive", "tgt_has_at",
+    )
+    if cache:
+        parsed = parsed.persist()
 
     fights = build_fights(parsed)
     if cache:

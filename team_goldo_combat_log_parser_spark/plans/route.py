@@ -8,7 +8,8 @@ fight-joined events; each sink is then a cheap filter over one cached DF.
 
 Subtleties preserved:
  * ignore-pull gate (main.py:313-314): inside a duplicate fight only rows
-   whose effect contains ExitCombat/Death ids reach dispatch at all;
+   whose effect contains ExitCombat/Death ids reach dispatch at all; the
+   enter row itself is always fully dispatched (the flag is set mid-row);
  * dispatch-order interplay: parse_exit_combat runs before parse_threat,
    so the exit row itself never accrues threat; parse_enter_combat runs
    first, so the enter row itself is already in combat for later handlers;
@@ -29,37 +30,30 @@ def with_routes(assigned: DataFrame) -> DataFrame:
     """Add routing flags + healer attribution to fight-joined events."""
     in_fight = F.col("fight_seq").isNotNull()
     dup = F.coalesce(F.col("is_duplicate"), F.lit(False))
-    # ignore-pull gate: rows of a duplicate fight are dropped unless their
-    # effect field contains the leave/death ids. The enter row itself is
-    # always fully dispatched (the flag is set mid-row, gating later rows).
     gate = (~dup | F.col("is_leave") | F.col("is_death")
             | (F.col("line_no") == F.col("start_line")))
     from_has_player = F.col("src_raw").contains(F.col("fight_player"))
     to_has_player = F.col("tgt_raw").contains(F.col("fight_player"))
     is_exit_row = in_fight & F.col("finished") & (F.col("line_no") == F.col("end_line"))
 
-    df = (
-        assigned
-        .withColumn("gate_open", gate)
-        .withColumn("is_exit_row", is_exit_row)
-        .withColumn("r_enter", in_fight & (F.col("line_no") == F.col("start_line")))
-        .withColumn("r_damage_done",
-                    in_fight & gate & F.col("is_damage") & from_has_player)
-        .withColumn("r_damage_received",
-                    in_fight & gate & F.col("is_damage") & to_has_player)
-        .withColumn("r_heal",
-                    in_fight & gate & F.col("is_heal_eff") & from_has_player
-                    & ~F.col("skill_has_revive"))
-        .withColumn("r_exit", is_exit_row)
-        .withColumn("r_threat",
-                    in_fight & gate & F.col("has_threat") & from_has_player
-                    & ~is_exit_row)
+    df = assigned.select(
+        "*",
+        gate.alias("gate_open"),
+        is_exit_row.alias("is_exit_row"),
+        (in_fight & (F.col("line_no") == F.col("start_line"))).alias("r_enter"),
+        (in_fight & gate & F.col("is_damage") & from_has_player)
+        .alias("r_damage_done"),
+        (in_fight & gate & F.col("is_damage") & to_has_player)
+        .alias("r_damage_received"),
+        (in_fight & gate & F.col("is_heal_eff") & from_has_player
+         & ~F.col("skill_has_revive")).alias("r_heal"),
+        is_exit_row.alias("r_exit"),
+        (in_fight & gate & F.col("has_threat") & from_has_player & ~is_exit_row)
+        .alias("r_threat"),
         # Force-Armor tracking fires regardless of combat state (no
         # in_combat condition, main.py:43-44) but is still behind the
         # ignore-pull gate when inside a duplicate fight.
-        .withColumn("r_fa",
-                    F.col("is_fa") & F.col("tgt_has_at")
-                    & (~in_fight | gate))
+        (F.col("is_fa") & F.col("tgt_has_at") & (~in_fight | gate)).alias("r_fa"),
     )
 
     # healer-as-of: one window partitioning (log_id, ordered by line_no)
@@ -69,34 +63,23 @@ def with_routes(assigned: DataFrame) -> DataFrame:
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     fa_caster = F.when(F.col("r_fa"), F.col("src_player"))
     fa_line = F.when(F.col("r_fa"), F.col("line_no"))
+    h_name = F.last(fa_caster, ignorenulls=True).over(w_cur)
+    h_line = F.last(fa_line, ignorenulls=True).over(w_cur)
     last_exit = F.max(F.when(F.col("is_exit_row"), F.col("line_no"))).over(w_prev)
-    df = (
-        df.withColumn("_h_name", F.last(fa_caster, ignorenulls=True).over(w_cur))
-        .withColumn("_h_line", F.last(fa_line, ignorenulls=True).over(w_cur))
-        .withColumn("_last_exit", last_exit)
-        .withColumn(
-            "healer_id",
-            F.when(
-                F.col("_h_line").isNotNull()
-                & (F.col("_last_exit").isNull()
-                   | (F.col("_h_line") > F.col("_last_exit"))),
-                F.col("_h_name"),
-            ),
-        )
-        .drop("_h_name", "_h_line", "_last_exit")
+    healer = F.when(
+        h_line.isNotNull() & (last_exit.isNull() | (h_line > last_exit)),
+        h_name,
     )
-    return df
+    return df.select("*", healer.alias("healer_id"))
 
 
 def sink_filters(routed: DataFrame) -> dict[str, DataFrame]:
     """Per-event-type fan-out (SURVEY.md S7): five filtered views of one
     cached routed DF — the parse UDF runs once, not five times."""
-    eff = F.col("effect_raw")
     return {
         "damage": routed.filter(F.col("r_damage_done") | F.col("r_damage_received")),
         "heal": routed.filter(F.col("r_heal")),
-        "cast_event": routed.filter(eff.contains("Event {")),
-        "aura": routed.filter(eff.contains("ApplyEffect {")
-                              | eff.contains("RemoveEffect {")),
+        "cast_event": routed.filter(F.col("is_event_verb")),
+        "aura": routed.filter(F.col("is_apply_verb") | F.col("is_remove_verb")),
         "death": routed.filter(F.col("is_death")),
     }

@@ -33,8 +33,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..constants import DEATH, ENTER_COMBAT, LEAVE_COMBAT
-
 FIGHTS_SCHEMA = (
     "log_id string, fight_seq int, player_id string, "
     "start_line long, end_line long, start_ts timestamp, stop_ts timestamp, "
@@ -51,13 +49,12 @@ def _fight_state_machine(pdf: pd.DataFrame) -> pd.DataFrame:
     seq = 0
     player = start_line = start_ts = None
     for r in pdf.itertuples(index=False):
-        if not in_combat and ENTER_COMBAT in r.effect_raw:
+        if not in_combat and r.is_enter:
             seq += 1
             player = r.src_player
             start_line, start_ts = r.line_no, r.ts
             in_combat = True
-        elif in_combat and (LEAVE_COMBAT in r.effect_raw or DEATH in r.effect_raw) \
-                and player in r.tgt_raw:
+        elif in_combat and (r.is_leave or r.is_death) and player in r.tgt_raw:
             out.append((log_id, seq, player, start_line, r.line_no,
                         start_ts, r.ts, True))
             in_combat = False
@@ -72,7 +69,8 @@ def build_fights(parsed: DataFrame) -> DataFrame:
     """Marker rows -> fights table with duplicate-pull flags."""
     markers = parsed.filter(
         F.col("is_enter") | F.col("is_leave") | F.col("is_death")
-    ).select("log_id", "line_no", "ts", "effect_raw", "src_player", "tgt_raw")
+    ).select("log_id", "line_no", "ts", "is_enter", "is_leave", "is_death",
+             "src_player", "tgt_raw")
     fights = markers.groupBy("log_id").applyInPandas(
         _fight_state_machine, schema=FIGHTS_SCHEMA)
     # duplicate pull: an earlier *finished* fight already wrote the same

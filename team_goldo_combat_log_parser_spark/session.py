@@ -45,10 +45,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # parquet scans: bigger splits keep task count sane on wide scans
         .config("spark.sql.files.maxPartitionBytes", "268435456")
+        # dictionary/RLE compression of cached wide string columns costs
+        # ~7x the cache-build time for this workload; raw columnar is fine
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

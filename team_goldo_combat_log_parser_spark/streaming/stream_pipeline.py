@@ -1,0 +1,162 @@
+"""Structured Streaming variant of the combat pipeline.
+
+Fight boundaries are explicit events (EnterCombat/ExitCombat/Death), not
+time gaps, so ``session_window`` doesn't apply; instead the per-log parser
+state machine runs under ``applyInPandasWithState`` keyed by ``log_id``:
+the state carries (in_combat, player, healer, fight_seq, accumulators)
+across micro-batches and a finished pull row is emitted the moment its
+exit marker is processed.
+
+Scope notes (extension surface, not reference parity — the reference is
+batch-only):
+ * rows are processed in line_no order within each batch; cross-batch
+   order relies on an ordered source (file source reads files in order).
+   Late/reordered lines would need an event-time watermark + reorder
+   buffer, which the reference has no semantics for.
+ * cross-log duplicate-pull suppression (Datastore probe) is a global
+   lookup, out of scope for per-log state; run the batch dedup downstream.
+
+Everything before the stateful operator is the same stateless parse used
+in batch (the pandas detok UDF and all grammar expressions run unchanged
+on a streaming DataFrame).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..constants import (
+    ABSORB,
+    DAMAGE,
+    DEATH,
+    DODGE,
+    ENTER_COMBAT,
+    FORCE_ARMOR,
+    HEAL,
+    LEAVE_COMBAT,
+    MISS,
+    NO_DAMAGE,
+    PARRY,
+    RESIST,
+    REVIVE,
+)
+from ..functions import grammar
+
+PULL_OUT_SCHEMA = T.StructType([
+    T.StructField("log_id", T.StringType()),
+    T.StructField("fight_seq", T.IntegerType()),
+    T.StructField("pull_start", T.StringType()),
+    T.StructField("pull_stop", T.StringType()),
+    T.StructField("target", T.StringType()),
+    T.StructField("player", T.StringType()),
+    T.StructField("total_damage", T.LongType()),
+    T.StructField("player_heal", T.LongType()),
+    T.StructField("threat", T.LongType()),
+])
+
+STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
+
+
+def _first_int(amount: str) -> int:
+    tok = amount[1:].split(None, 1)
+    if not tok:
+        return 0
+    digits = ""
+    for ch in tok[0]:
+        if ch.isdigit():
+            digits += ch
+        else:
+            break
+    return int(digits) if digits else 0
+
+
+def _fold(st: dict, r) -> dict | None:
+    """Advance one row through the per-log parser state; returns a finished
+    pull dict when the row closes a fight (semantics mirror golden/oracle)."""
+    eff, amt = r.effect_raw, r.amount_raw
+    if not st["in_combat"] and ENTER_COMBAT in eff:
+        st.update(in_combat=True, player=r.src_raw[2:], seq=st["seq"] + 1,
+                  start=f"{r.log_date} {r.time_raw[1:]}", target=None,
+                  dmg=0, heal=0, threat=0)
+        return None
+    if not st["in_combat"]:
+        if FORCE_ARMOR in eff and "@" in r.tgt_raw:
+            st["healer"] = r.src_raw[2:]
+        return None
+    player = st["player"]
+    out = None
+    if DAMAGE in eff and player in r.src_raw and NO_DAMAGE not in amt:
+        st["target"] = r.tgt_raw[1:].split("{", 1)[0]
+        n = _first_int(amt)
+        if n:
+            st["dmg"] += n
+    if FORCE_ARMOR in eff and "@" in r.tgt_raw:
+        st["healer"] = r.src_raw[2:]
+    if HEAL in eff and player in r.src_raw and REVIVE not in r.skill_raw:
+        st["heal"] += _first_int(amt)
+    exited = False
+    if (DEATH in eff or LEAVE_COMBAT in eff) and player in r.tgt_raw:
+        out = dict(fight_seq=st["seq"], pull_start=st["start"],
+                   pull_stop=f"{r.log_date} {r.time_raw[1:]}",
+                   target=st["target"], player=player,
+                   total_damage=st["dmg"], player_heal=st["heal"],
+                   threat=st["threat"])
+        st.update(in_combat=False, player=None, healer=None)
+        exited = True
+    if not exited and "<" in amt and player in r.src_raw:
+        t = amt[amt.index("<") + 1:amt.index(">")]
+        st["threat"] += int(t)
+    return out
+
+
+def _stateful_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    log_id = key[0]
+    if state.exists:
+        st = json.loads(state.get[0])
+    else:
+        st = {"in_combat": False, "player": None, "healer": None, "seq": 0,
+              "start": None, "target": None, "dmg": 0, "heal": 0, "threat": 0}
+    done: list[dict] = []
+    for pdf in pdfs:
+        for r in pdf.sort_values("line_no").itertuples(index=False):
+            pull = _fold(st, r)
+            if pull:
+                pull["log_id"] = log_id
+                done.append(pull)
+    state.update((json.dumps(st),))
+    if done:
+        yield pd.DataFrame(done)[[f.name for f in PULL_OUT_SCHEMA.fields]]
+
+
+def stream_pulls(tokens_stream: DataFrame) -> DataFrame:
+    """Streaming token table -> stream of finished pulls."""
+    parsed = grammar.split_fields(grammar.detokenize_lines(tokens_stream))
+    parsed = grammar.with_identity_columns(parsed)
+    slim = parsed.select("log_id", "line_no", "log_date", "time_raw",
+                         "src_raw", "tgt_raw", "skill_raw", "effect_raw",
+                         "amount_raw")
+    return slim.groupBy("log_id").applyInPandasWithState(
+        _stateful_fn, PULL_OUT_SCHEMA, STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)
+
+
+def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
+                    query_name: str = "pulls_stream") -> DataFrame:
+    """Drive the stream over all currently-available input (batch-like
+    smoke path: availableNow trigger + memory sink)."""
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    pulls = stream_pulls(stream)
+    q = (pulls.writeStream.outputMode("append").format("memory")
+         .queryName(query_name).option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

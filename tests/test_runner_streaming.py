@@ -1,0 +1,90 @@
+"""Runner (resumable checkpoint manifest) and Structured Streaming tests."""
+
+import json
+import subprocess
+import sys
+
+from team_goldo_combat_log_parser_spark.runner.checkpoint import (
+    Manifest, filter_unprocessed)
+from team_goldo_combat_log_parser_spark.sources import datagen as dg
+from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
+from team_goldo_combat_log_parser_spark.streaming.stream_pipeline import (
+    run_stream_once)
+
+
+def test_manifest_resume(spark, tmp_path):
+    logs = dg.synth_corpus(dg.GenConfig(n_logs=3, fights_per_log=2,
+                                        rows_per_fight=40, seed=3))
+    tokens = dg.token_df(spark, logs)
+    m = Manifest(str(tmp_path / "ckpt"))
+
+    # first run: everything new
+    todo = filter_unprocessed(tokens, m)
+    assert todo.count() == tokens.count()
+    first_two = [logs[0][0], logs[1][0]]
+    m.commit(first_two, {"damage": 10}, metrics={"run": 1})
+
+    # resume: only the third log remains
+    todo = filter_unprocessed(tokens, m)
+    remaining = {r["source"] for r in todo.select("source").distinct().collect()}
+    assert remaining == {logs[2][0]}
+
+    # second commit closes it out; manifest accumulates
+    m.commit([logs[2][0]], {"damage": 5})
+    assert filter_unprocessed(tokens, m).count() == 0
+    assert len(m.records()) == 2
+    assert m.processed_sources() == {log[0] for log in logs}
+
+
+def test_cli_end_to_end(tmp_path):
+    """Drive the spark-submit entrypoint as a real subprocess, twice —
+    the second invocation must be a no-op (resume from manifest)."""
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "from team_goldo_combat_log_parser_spark.session import get_spark; "
+        "from team_goldo_combat_log_parser_spark.sources import datagen as dg; "
+        "s = get_spark('cli-prep', cores=2); "
+        "logs = dg.adversarial_logs(); "
+        f"dg.write_token_table(s, logs, '{tmp_path}/tokens', 2)"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=300)
+    env_args = ["--input", f"{tmp_path}/tokens", "--output", f"{tmp_path}/out",
+                "--checkpoint", f"{tmp_path}/ckpt"]
+    runner = ("import sys; sys.path.insert(0, '/root/repo'); "
+              "from team_goldo_combat_log_parser_spark.session import get_spark; "
+              "get_spark('cli', cores=2); "
+              "from team_goldo_combat_log_parser_spark.runner.cli import main; "
+              "sys.exit(main(sys.argv[1:]))")
+    r1 = subprocess.run([sys.executable, "-c", runner, *env_args],
+                        capture_output=True, text=True, timeout=600)
+    out1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["status"] == "committed" and out1["new_sources"] == 3
+    assert out1["counts"]["pulls"] == 4  # advA:2, advB:1 (dup dropped), advC:1
+
+    r2 = subprocess.run([sys.executable, "-c", runner, *env_args],
+                        capture_output=True, text=True, timeout=600)
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["status"] == "up-to-date"
+
+
+def test_streaming_pulls_match_batch(spark, tmp_path):
+    logs = dg.synth_corpus(dg.GenConfig(n_logs=3, fights_per_log=3,
+                                        rows_per_fight=60, seed=11))
+    dg.write_token_table(spark, logs, str(tmp_path / "tokens"), 3)
+
+    stream_rows = run_stream_once(spark, str(tmp_path / "tokens"),
+                                  str(tmp_path / "ckpt")).collect()
+    batch = run_pipeline(spark, dg.token_df(spark, logs), cache=False)
+    batch_pulls = {(r["log_id"], r["fight_seq"]): r for r in batch.pulls.collect()}
+
+    assert len(stream_rows) == len(batch_pulls)
+    for r in stream_rows:
+        b = batch_pulls[(r["log_id"], r["fight_seq"])]
+        assert r["total_damage"] == b["total_damage"]
+        assert r["target"] == b["target"]
+        assert r["player"] == b["players_set"][0]
+    # threat parity vs batch threat table
+    bt = {(r["log_id"], r["fight_seq"]): r["threat"]
+          for r in batch.threat.collect()}
+    for r in stream_rows:
+        assert r["threat"] == bt[(r["log_id"], r["fight_seq"])]
