@@ -17,6 +17,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -24,8 +25,12 @@ def get_spark(
     shuffle_partitions: defaults to cores (local shuffles through one JVM;
     200 default would over-parallelize tiny stages and under-parallelize at
     scale — on a real cluster AQE coalesces from a higher initial value).
+    master: explicit override, e.g. "local-cluster[4,2,6144]" for a real
+    multi-executor-JVM test topology (cores then sets shuffle parallelism).
     """
-    if cores is None:
+    if master is not None:
+        n = cores or (os.cpu_count() or 8)
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         n = int(env) if env else (os.cpu_count() or 8)
