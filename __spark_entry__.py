@@ -6,10 +6,12 @@ entry(spark)      -> flagship: the full combat-log DAG (parse -> sessionize
 queries()         -> one callable per implemented operator (SURVEY.md par.2
                      plus the training-data ops). Combat-grammar queries
                      synthesize their token-table input deterministically
-                     (seeded; input shape per BASELINE.json input_hint) —
-                     they carry no oracle_sql and get rows-only checks;
-                     their value parity is asserted in tests/ against the
-                     sequential oracle instead.
+                     (seeded; input shape per BASELINE.json input_hint) and
+                     ARE value-checked: oracle_sql() registers a full DuckDB
+                     SQL re-derivation of the parser for every combat_*
+                     query (golden/sql_oracle.py). Only the hash-sketch ops
+                     (minhash/simhash/fingerprint/lsh_ann) are rows-only,
+                     with pytest recall gates instead.
 oracle_sql()      -> DuckDB-equivalent SQL for every relational / text /
                      similarity operator (exact value parity via DECIMAL
                      arithmetic and string-formatted timestamps).

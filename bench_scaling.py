@@ -6,20 +6,31 @@ This sandbox has one machine but Spark's ``local-cluster[n, cores, mem]``
 master launches *real separate executor JVMs* (own heap, own Python UDF
 workers, shuffle over loopback) — the faithful analogue of an N-executor
 cluster. We run the identical job on local-cluster[N,2,...] and
-local-cluster[4N,2,...] (2 cores per executor, the realistic small-executor
-shape) and compare throughput.
+local-cluster[4N,2,...] (2 cores per executor, the realistic
+small-executor shape) and compare throughput.
 
-Host-noise control: the sandbox's deliverable CPU fluctuates up to ~2x
-over minutes, so every timed run is bracketed by a canary (2s, 32-process
-busy loop measuring instantaneous capacity) and levels alternate across
-several fresh driver subprocesses; we report raw minima and
-canary-normalized throughput with all samples in BENCH/BASELINE.md.
+Measurement design (the sandbox's deliverable CPU fluctuates ~2-3x over
+minutes, so naive best-of comparisons are dominated by which level got
+the lucky window):
+
+* PAIRED ROUNDS — each round runs N then 4N back-to-back in fresh driver
+  subprocesses; the headline efficiency is the MEDIAN over per-round
+  ratios, which cancels slow host drift (both levels of a pair see
+  roughly the same host capacity).
+* CANARY NORMALIZATION — every timed run is bracketed by a 2s
+  32-process busy-loop measuring instantaneous host capacity; normalized
+  throughput (ev/s per host-Miters/s) is reported alongside raw.
+* The corpus is 256 logs (window/session parallelism is keyed by log_id,
+  so 4N=8 executors x 2 cores see 16 partitions of ~16 logs each — no
+  partition-count ceiling), generated DISTRIBUTED via spark.range +
+  per-log seeded generators (sources/token_io.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -50,8 +61,9 @@ n_exec = int(sys.argv[1]); token_path = sys.argv[2]; reps = int(sys.argv[3])
 spark = get_spark(
     f"scale{{n_exec}}x2",
     cores=2 * n_exec,
-    master=f"local-cluster[{{n_exec}},2,4096]",
-    extra_conf={{"spark.executor.memory": "3g",
+    master=f"local-cluster[{{n_exec}},2,8192]",
+    extra_conf={{"spark.executor.memory": "7g",
+                 "spark.locality.wait": "0s",
                  "spark.driver.memory": "8g"}},
 )
 warm = spark.read.parquet(token_path).limit(20000)
@@ -76,7 +88,7 @@ def run_level(n_exec: int, token_path: str, reps: int = 2) -> dict:
     code = WORKER.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", code, str(n_exec), token_path, str(reps)],
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=4200,
         env={**os.environ, "PYTHONPATH": REPO},
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -92,26 +104,39 @@ def main() -> None:
         "from team_goldo_combat_log_parser_spark.sources.token_io import "
         "materialize_token_table; "
         "from team_goldo_combat_log_parser_spark.sources.datagen import GenConfig; "
-        "s = get_spark('prep', cores=16); "
-        "print(materialize_token_table(s, GenConfig(n_logs=64, fights_per_log=6, "
-        "rows_per_fight=7500, seed=42), %r, 64))"
+        "s = get_spark('prep', cores=32); "
+        "print(materialize_token_table(s, GenConfig(n_logs=256, fights_per_log=6, "
+        "rows_per_fight=4000, seed=42), %r, 64))"
         % (REPO, CORPUS_CACHE)
     )
     out = subprocess.run([sys.executable, "-c", prep], capture_output=True,
-                         text=True, timeout=1800,
+                         text=True, timeout=2400,
                          env={**os.environ, "PYTHONPATH": REPO})
     token_path = out.stdout.strip().splitlines()[-1]
 
     small_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     big_n = small_n * 4
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
     acc = {small_n: [], big_n: []}
+    pair_eff_raw, pair_eff_norm = [], []
     lines = routed = 0
     for _ in range(rounds):
-        for n_exec in (small_n, big_n):
-            r = run_level(n_exec, token_path)
-            acc[n_exec].extend(r["samples"])
-            lines, routed = r["lines"], r["routed"]
+        rs = run_level(small_n, token_path)
+        rb = run_level(big_n, token_path)
+        acc[small_n].extend(rs["samples"])
+        acc[big_n].extend(rb["samples"])
+        lines, routed = rb["lines"], rb["routed"]
+        # per-round (paired-in-time) efficiency: best sample of each level
+        # within the SAME round, so both saw a similar host window
+        s_eps = max(x["eps"] for x in rs["samples"])
+        b_eps = max(x["eps"] for x in rb["samples"])
+        s_nrm = max(x["eps_norm"] for x in rs["samples"])
+        b_nrm = max(x["eps_norm"] for x in rb["samples"])
+        pair_eff_raw.append((b_eps / s_eps) / 4)
+        pair_eff_norm.append((b_nrm / s_nrm) / 4)
+        print(json.dumps({"round_eff_raw": round(pair_eff_raw[-1], 3),
+                          "round_eff_norm": round(pair_eff_norm[-1], 3)}),
+              file=sys.stderr, flush=True)
 
     def best(n_exec):
         s = acc[n_exec]
@@ -124,13 +149,18 @@ def main() -> None:
         }
 
     small, big = best(small_n), best(big_n)
-    eff_raw = (big["max_eps"] / small["max_eps"]) / 4
-    eff_norm = (big["max_eps_norm"] / small["max_eps_norm"]) / 4
+    eff_raw = statistics.median(pair_eff_raw)
+    eff_norm = statistics.median(pair_eff_norm)
+    best_eff_raw = (big["max_eps"] / small["max_eps"]) / 4
+    best_eff_norm = (big["max_eps_norm"] / small["max_eps_norm"]) / 4
     result = {
         "metric": "scaling_efficiency_Nx4_executors",
         "value": round(eff_norm, 3),
         "unit": "ratio",
         "raw_efficiency": round(eff_raw, 3),
+        "best_of_eff_norm": round(best_eff_norm, 3),
+        "best_of_eff_raw": round(best_eff_raw, 3),
+        "pair_effs_norm": [round(x, 3) for x in pair_eff_norm],
         "small": {k: small[k] for k in ("executors", "min_sec", "max_eps",
                                         "max_eps_norm")},
         "big": {k: big[k] for k in ("executors", "min_sec", "max_eps",
@@ -150,26 +180,38 @@ def main() -> None:
 North-rule evidence: the identical combat pipeline job (detokenize ->
 parse -> sessionize -> route -> aggregate; routed flags + pulls + all
 aggregate tables) over the same {lines:,}-line parquet token corpus
-({routed:,} routed events) at **{small['executors']} vs
+({routed:,} routed events, 256 logs) at **{small['executors']} vs
 {big['executors']} real executor JVMs** (Spark ``local-cluster`` master,
-2 cores + 3g each — the faithful single-machine analogue of an
+2 cores + 7g each — the faithful single-machine analogue of an
 N-executor cluster: separate heaps, separate Python UDF workers, shuffle
-between executors), alternating fresh-driver subprocesses across
-{rounds} rounds.
+between executors), in {rounds} PAIRED rounds of fresh-driver
+subprocesses (N then 4N back-to-back, so each pair sees a similar host
+window).
 
 **Host-noise control.** This sandbox's deliverable CPU fluctuates up to
-~2x over minutes (the identical 8-thread job measured 94s and 172s in
-different windows). Every timed run is bracketed by a canary — a 2s,
-32-process busy loop measuring instantaneous host capacity (Miters/s) —
-and both raw and canary-normalized throughput are reported.
+~2-3x over minutes. Two defenses: (1) the headline number is the MEDIAN
+of per-round paired efficiencies, which cancels slow drift; (2) every
+timed run is bracketed by a canary — a 2s, 32-process busy loop
+measuring instantaneous host capacity (Miters/s) — and canary-normalized
+throughput is reported alongside raw.
 
 | executors (2 cores each) | best wall (s) | best events/s | best normalized (ev/s per host-M/s) |
 |---|---|---|---|
 | {small['executors']} (N) | {small['min_sec']} | {small['max_eps']:,.0f} | {small['max_eps_norm']} |
 | {big['executors']} (4N) | {big['min_sec']} | {big['max_eps']:,.0f} | {big['max_eps_norm']} |
 
-**Scaling efficiency N -> 4N executors: {eff_norm:.3f} (canary-normalized), {eff_raw:.3f} (raw)**
-(target >= 0.8; 1.0 = perfectly linear).
+**Scaling efficiency N -> 4N executors (median of paired rounds):
+{eff_norm:.3f} canary-normalized, {eff_raw:.3f} raw** (target >= 0.8;
+1.0 = perfectly linear). Per-round paired efficiencies (normalized):
+{', '.join(f'{x:.3f}' for x in pair_eff_norm)}.
+Best-of-all-samples comparison (the round-1 metric, more
+luck-sensitive): {best_eff_norm:.3f} normalized / {best_eff_raw:.3f} raw.
+
+Spark config at both levels: AQE on (coalescePartitions + skewJoin),
+shuffle partitions = total cores, Arrow batch 20k rows,
+`spark.sql.inMemoryColumnarStorage.compressed=false`,
+`spark.locality.wait=0`; input 256-log token corpus generated
+distributed (spark.range + per-log seeded generator).
 
 All samples:
 

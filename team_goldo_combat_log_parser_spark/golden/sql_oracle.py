@@ -222,7 +222,33 @@ dr_players AS (
 """
 
 
+def _assert_wellformed_markers(corpus: list[tuple[str, list[str]]]) -> None:
+    """Fail loudly if the corpus violates the fight-pairing simplification
+    documented above (an EnterCombat while a fight is still open, i.e. a
+    non-final fight with no terminator before the next enter) — a violated
+    assumption would otherwise silently produce a WRONG oracle."""
+    for fname, lines in corpus:
+        open_player = None
+        last_enter = None
+        for i, line in enumerate(lines):
+            parts = [p.lstrip(" ") for p in line.split("]")]
+            effect = parts[4] if len(parts) > 4 else ""
+            tgt = parts[2] if len(parts) > 2 else ""
+            if C.ENTER_COMBAT in effect:
+                if open_player is not None:
+                    raise AssertionError(
+                        f"{fname}: EnterCombat at line {i} while fight from "
+                        f"line {last_enter} is still open — the SQL oracle's "
+                        f"pairing assumption does not hold for this corpus")
+                open_player = parts[1][2:] if len(parts) > 1 else ""
+                last_enter = i
+            elif (C.LEAVE_COMBAT in effect or C.DEATH in effect) and \
+                    open_player and open_player in tgt:
+                open_player = None
+
+
 def combat_oracle_queries(corpus: list[tuple[str, list[str]]]) -> dict[str, str]:
+    _assert_wellformed_markers(corpus)
     base = _base_ctes(corpus)
     ms = ("strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S.%%g')")
     q: dict[str, str] = {}
@@ -288,14 +314,14 @@ ORDER BY log_id, fight_seq, player
 )
 SELECT k.log_id, k.fight_seq, k.player,
        CAST(floor(coalesce(dp.amount, 0)
-            / (epoch(p.pull_stop_ts) - epoch(p.pull_start_ts)) * 1e6) AS BIGINT)
-         AS dps_e6,
+            / NULLIF(epoch(p.pull_stop_ts) - epoch(p.pull_start_ts), 0) * 1e6)
+            AS BIGINT) AS dps_e6,
        CAST(floor(coalesce(h.heal, 0)
-            / (epoch(p.pull_stop_ts) - epoch(p.pull_start_ts)) * 1e6) AS BIGINT)
-         AS hps_e6,
+            / NULLIF(epoch(p.pull_stop_ts) - epoch(p.pull_start_ts), 0) * 1e6)
+            AS BIGINT) AS hps_e6,
        CAST(floor(coalesce(dr.amount, 0)
-            / (epoch(p.pull_stop_ts) - epoch(p.pull_start_ts)) * 1e6) AS BIGINT)
-         AS dtps_e6
+            / NULLIF(epoch(p.pull_stop_ts) - epoch(p.pull_start_ts), 0) * 1e6)
+            AS BIGINT) AS dtps_e6
 FROM keys k
 JOIN pulls p ON p.log_id = k.log_id AND p.fight_seq = k.fight_seq
 LEFT JOIN dd_players dp ON dp.log_id = k.log_id AND dp.fight_seq = k.fight_seq

@@ -10,8 +10,11 @@ same banding trick as MinHash-LSH for text.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .relational import load
 
@@ -89,60 +92,88 @@ def emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- LSH-bucketed ANN (scale)
 
-N_PLANES = 16
+# 128 hyperplanes -> 16 bands x 8-bit keys (256 buckets per band), with
+# radius-1 multi-probe on the query side. Sizing rule at scale: keep
+# expected bucket occupancy bounded by growing the key width with the
+# corpus — band_bits ~ log2(n / target_bucket_size) — so candidates per
+# query stay O(n_bands * probes * bucket_size), independent of n. The
+# previous 4-bit keys gave 16 buckets/band, i.e. ~n/4 candidates per
+# query: brute force with extra steps at 10^9 vectors.
+N_PLANES = 128
+N_BANDS = 16
+BAND_BITS = N_PLANES // N_BANDS  # 8
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (seeded LCG, no wall clock)."""
-    planes = []
+def _planes_matrix(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (seeded xorshift, no wall
+    clock): (dim, N_PLANES) float64 matrix."""
     state = 88172645463325252
-    for _ in range(N_PLANES):
-        v = []
-        for _ in range(dim):
-            # xorshift64
-            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
-            state ^= state >> 7
-            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
-            v.append(((state % 2001) - 1000) / 1000.0)
-        planes.append(v)
-    return planes
+    vals = []
+    for _ in range(N_PLANES * dim):
+        state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+        state ^= state >> 7
+        state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+        vals.append(((state % 2001) - 1000) / 1000.0)
+    return np.asarray(vals, dtype=np.float64).reshape(N_PLANES, dim).T
 
 
-def emb_lsh_ann(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 16-bit sign signature,
-    4 bands x 4 bits; candidates share a band value with a query, then
-    exact cosine re-ranks candidates only. At 10^9+ vectors the banding
-    join replaces the cross join; everything else is unchanged."""
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def _band_keys_udf(emb: pd.Series) -> pd.Series:
+    """Vectorized signature: one numpy matmul per Arrow batch
+    (n x dim) @ (dim x 128) -> sign bits -> 16 packed 8-bit band keys.
+    The matmul is the textbook case for a pandas UDF — 128 interpreted
+    higher-order-function aggregates per row would be ~100x slower."""
+    if len(emb) == 0:
+        return pd.Series([], dtype=object)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    p = _planes_matrix(m.shape[1])
+    bits = (m @ p) > 0  # (n, N_PLANES)
+    weights = 1 << np.arange(BAND_BITS)
+    out = np.zeros((len(m), N_BANDS), dtype=np.int32)
+    for b in range(N_BANDS):
+        out[:, b] = bits[:, b * BAND_BITS:(b + 1) * BAND_BITS] @ weights
+    return pd.Series(list(out))
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str,
+                   probe_radius: int = 1) -> DataFrame:
+    """(qid, qv, vec_id, embedding) candidate pairs from the banding join.
+
+    Data side: exact (band, key) postings — ONE row per (vector, band),
+    the inverted index a real deployment would precompute and bucket-join.
+    Query side: multi-probe — each query also probes every key within
+    Hamming distance ``probe_radius`` of its own band key, which buys
+    recall on weakly-correlated neighbors without growing the index."""
     e = load(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(dim)
-    sign_bits = []
-    for i, pl in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with("embedding", F.array(*[F.lit(x) for x in pl]),
-                       lambda a, b: a.cast("double") * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        sign_bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = e.withColumn("sig", sum(sign_bits).cast("long"))
-
-    bands = []
-    for bnd in range(4):
-        bands.append(sig.select(
-            "vec_id", "embedding", "sig", F.lit(bnd).alias("band"),
-            F.shiftright("sig", bnd * 4).bitwiseAND(F.lit(0xF)).alias("bkey")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-
-    q = (banded.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
-                 "band", "bkey"))
-    cand = (
+    sig = e.withColumn("bkeys", _band_keys_udf("embedding"))
+    banded = sig.select(
+        "vec_id", "embedding",
+        F.posexplode("bkeys").alias("band", "bkey"))
+    q0 = banded.filter(F.col("vec_id") < N_QUERIES)
+    probes = [F.col("bkey")]
+    if probe_radius >= 1:
+        probes += [F.col("bkey").bitwiseXOR(F.lit(1 << i))
+                   for i in range(BAND_BITS)]
+    if probe_radius >= 2:
+        probes += [F.col("bkey").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                   for i in range(BAND_BITS) for j in range(i + 1, BAND_BITS)]
+    q = q0.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "band",
+        F.explode(F.array(*probes)).alias("bkey"))
+    return (
         q.join(banded.select("vec_id", "embedding", "band", "bkey"),
                ["band", "bkey"])
         .filter(F.col("qid") != F.col("vec_id"))
         .select("qid", "qv", "vec_id", "embedding")
         .distinct()
     )
+
+
+def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (see ``lsh_candidates``);
+    exact cosine re-ranks candidates only. At 10^9+ vectors the banding
+    join replaces the cross join; everything else is unchanged."""
+    cand = lsh_candidates(spark, sf_dir)
     dot = F.aggregate(
         F.zip_with("qv", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)

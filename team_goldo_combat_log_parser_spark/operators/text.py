@@ -98,12 +98,25 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
 
 
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                            threshold: float = 0.62) -> DataFrame:
+                            threshold: float = 0.62,
+                            max_df: int = 20) -> DataFrame:
     """Near-dup candidate pairs by exact character-3-gram Jaccard within a
     source partition. The self-join is equi-keyed on (source, shingle);
-    at scale the same plan runs per source bucket."""
+    at scale the same plan runs per source bucket.
+
+    ``max_df`` caps shingle document-frequency: a shingle held by k docs
+    emits k^2 join rows, so one hot 3-gram (" th") would dominate the
+    shuffle at corpus scale. Shingles with df > max_df are dropped from
+    BOTH the intersection count and the per-doc sizes (consistent
+    stopword-shingle semantics, like every production near-dup pipeline);
+    the DuckDB oracle applies the identical cap."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d).cache()
+    sh_all = _shingles(d)
+    keep = (sh_all.groupBy("source", "sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("source", "sh"))
+    sh = sh_all.join(keep, ["source", "sh"]).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "source", "sh")
     b = sh.select(F.col("doc_id").alias("b"), F.col("source").alias("source_b"),
@@ -225,14 +238,17 @@ def doc_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str,
                            max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked
-    by 16-bit chunks (a pair within distance d<=3 shares at least one of 4
-    exact chunks; pigeonhole blocking keeps the join equi-keyed)."""
+    by 8-bit chunks: by pigeonhole, a pair within distance d <= 7 has at
+    least one of its 8 chunks untouched, so blocking on exact chunk value
+    is COMPLETE for the default max_hamming=6 (not just d<=3 as the old
+    4x16-bit blocking guaranteed). Callers passing max_hamming > 7 get
+    approximate recall — documented, not silent."""
     sh = doc_simhash64(spark, sf_dir).cache()
     chunks = [
         sh.select("doc_id", "simhash", F.lit(c).alias("chunk"),
-                  F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                  F.shiftright("simhash", c * 8).bitwiseAND(F.lit(0xFF))
                   .alias("ckey"))
-        for c in range(4)
+        for c in range(8)
     ]
     blocked = chunks[0]
     for c in chunks[1:]:
@@ -320,9 +336,15 @@ ORACLE_SQL: dict[str, str] = {
                  unnest(generate_series(1, greatest(length(text) - 2, 1)))
                    AS i
           FROM documents
-        ), sh AS (
+        ), sh_all AS (
           SELECT DISTINCT doc_id, source, substring(text, i, 3) AS sh
           FROM idx
+        ), keep AS (
+          SELECT source, sh FROM sh_all GROUP BY source, sh
+          HAVING COUNT(*) <= 20
+        ), sh AS (
+          SELECT s.doc_id, s.source, s.sh
+          FROM sh_all s JOIN keep k ON s.source = k.source AND s.sh = k.sh
         ), sizes AS (
           SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
         ), common AS (

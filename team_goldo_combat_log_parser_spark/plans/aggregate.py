@@ -197,7 +197,11 @@ def rates(pulls: DataFrame, dd_players: DataFrame, heal: DataFrame,
           dr_players: DataFrame) -> DataFrame:
     """DPS / HPS / DTPS per (fight, player) — report layer (main.py:467-486)."""
     dur = pulls.select(*FIGHT_KEY, "pull_start", "pull_stop")
-    secs = (F.col("pull_stop").cast("double") - F.col("pull_start").cast("double"))
+    # nullif(0): a fight whose enter and exit share a timestamp must yield
+    # null rates, not Inf/NaN (the reference would divide by zero here)
+    secs = F.nullif(
+        F.col("pull_stop").cast("double") - F.col("pull_start").cast("double"),
+        F.lit(0.0))
     base = (
         dd_players.select(*FIGHT_KEY, "player", F.col("amount").alias("dmg"))
         .join(heal.withColumnRenamed("healer", "player"),

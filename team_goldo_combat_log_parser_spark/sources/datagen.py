@@ -337,6 +337,18 @@ def synth_corpus(cfg: GenConfig | None = None) -> list[tuple[str, list[str]]]:
     return [synth_log(rng, cfg, i) for i in range(cfg.n_logs)]
 
 
+def synth_log_rows(cfg: GenConfig, log_idx: int) -> list[tuple[str, str, str]]:
+    """(doc_id, line, source) rows for ONE log with an independent per-log
+    rng — the distributed-datagen unit: each executor task generates its
+    own logs, so corpus size is bounded by cluster capacity, not by the
+    driver heap (the shared-rng ``synth_corpus`` path is inherently
+    sequential and stays for the small golden corpora)."""
+    rng = random.Random((cfg.seed << 20) ^ log_idx)
+    fname, lines = synth_log(rng, cfg, log_idx)
+    log_name = fname.rsplit(".", 1)[0]
+    return [(f"{log_name}:{i:08d}", ln, fname) for i, ln in enumerate(lines)]
+
+
 # ------------------------------------------------------------------ tokenizer
 
 

@@ -45,9 +45,13 @@ def near_dup_dir(spark, tmp_path_factory):
 
 
 def test_minhash_lsh_recall(spark, near_dup_dir):
+    # max_df disabled: this constructed corpus draws from a 20-word vocab,
+    # so every shingle is "hot" — here the exact Jaccard is the ground
+    # truth, not a scale-tested query
     all_pairs = {(r["a"], r["b"]): r["jaccard"]
-                 for r in text.doc_ngram_jaccard_pairs(spark, near_dup_dir,
-                                                       threshold=0.7).collect()}
+                 for r in text.doc_ngram_jaccard_pairs(
+                     spark, near_dup_dir, threshold=0.7,
+                     max_df=10**9).collect()}
     assert len(all_pairs) >= 20  # the constructed near-copies
     # recall target is over true near-dups (J>=0.85); with 8-row bands the
     # J~0.7 gray zone is intentionally below the collision threshold
@@ -74,6 +78,27 @@ def test_simhash_near_pairs(spark, near_dup_dir):
     assert found / len(expect) >= 0.9, f"simhash recall {found / len(expect)}"
 
 
+def test_simhash_blocking_complete_to_7(spark, near_dup_dir):
+    """8x8-bit chunk blocking must return EXACTLY the brute-force pair set
+    for any max_hamming <= 7 (pigeonhole guarantee) — in particular no
+    silently dropped pairs at d in [4,6], which the old 4x16-bit blocking
+    (complete only to d<=3) could lose."""
+    hashes = {r["doc_id"]: r["simhash"]
+              for r in text.doc_simhash64(spark, near_dup_dir).collect()}
+    ids = sorted(hashes)
+    for d_max in (6, 7):
+        brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin(hashes[a] ^ hashes[b]).count("1") <= d_max}
+        blocked = {(r["a"], r["b"]) for r in text.doc_simhash_near_pairs(
+            spark, near_dup_dir, max_hamming=d_max).collect()}
+        assert blocked == brute, (
+            f"d<={d_max}: missing {brute - blocked}, extra {blocked - brute}")
+    # the test is only meaningful if mid-distance pairs actually exist
+    dists = sorted(bin(hashes[a] ^ hashes[b]).count("1")
+                   for i, a in enumerate(ids) for b in ids[i + 1:])
+    assert any(4 <= d <= 7 for d in dists), f"no mid-range pairs: {dists[:9]}"
+
+
 def test_fingerprint_identity(spark, near_dup_dir):
     fp = {r["doc_id"]: r["fingerprint"]
           for r in text.doc_fingerprint(spark, near_dup_dir).collect()}
@@ -90,9 +115,23 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf01):
     approx = {(r["qid"], r["neighbor_id"])
               for r in similarity.emb_lsh_ann(spark, sf01).collect()}
     recall = len(brute & approx) / len(brute)
-    # 16-bit hyperplane LSH with 4-bit bands on random vectors: modest but
-    # must be far above chance (50/500 would be ~0.1 by luck)
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    # 128 planes, 16 bands x 8-bit keys, radius-1 multi-probe: high recall
+    # even on this near-random corpus (top-5 cosines are only ~0.25-0.4)
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_lsh_ann_candidates_bounded(spark, sf01):
+    """The banding join must prune, not enumerate: candidate pairs stay
+    well under n^2/16 (and under brute force's n per query). On this
+    500-vector corpus the multi-probe examines ~44% of brute force — the
+    price of recall 0.9 on near-random vectors; at scale candidates are
+    bounded by bands x probes x bucket-size, independent of n."""
+    from team_goldo_combat_log_parser_spark.operators.relational import load
+    n = load(spark, sf01, "embeddings").count()
+    ncand = similarity.lsh_candidates(spark, sf01).count()
+    assert ncand <= n * n // 64, f"candidate blow-up: {ncand} vs n={n}"
+    assert ncand < similarity.N_QUERIES * (n - 1) * 0.6, \
+        f"candidates {ncand} not meaningfully below brute force"
 
 
 def test_media_features(spark):
