@@ -26,9 +26,24 @@ from pyspark.sql import functions as F
 
 from team_goldo_combat_log_parser_spark.golden.sql_oracle import (
     combat_oracle_queries)
-from team_goldo_combat_log_parser_spark.operators import relational, similarity, text
+from team_goldo_combat_log_parser_spark.operators import (
+    multimodal, relational, similarity, text)
+from team_goldo_combat_log_parser_spark.plans import aggregate as agg
+from team_goldo_combat_log_parser_spark.plans.aggregate import _live
 from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
 from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+# from_json schema for the pull `data` blob round-trip (combat_pull_json)
+_PULL_JSON_SCHEMA = (
+    "pull_start string, pull_stop string, target string, "
+    "players_set array<string>, "
+    "damage_done array<struct<player string, skill string, hit bigint, "
+    "dodged bigint, missed bigint, total_damage bigint>>, "
+    "damage_received array<struct<player string, attacker string, "
+    "skill string, hit bigint, dodged bigint, shielded bigint, "
+    "missed bigint, resisted bigint, total_damage bigint, dmg_type string>>, "
+    "heal array<struct<healer string, heal bigint>>, "
+    "threat array<struct<player string, threat bigint>>")
 
 
 def _combat_corpus() -> list[tuple[str, list[str]]]:
@@ -76,10 +91,64 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
                 *[F.sum(F.col(c).cast("int")).alias(c)
                   for c in ["r_enter", "r_damage_done", "r_damage_received",
                             "r_fa", "r_heal", "r_exit", "r_threat"]]),
+            # J2: broadcast spell-dictionary enrich over typed spell_id
+            "enrich": lambda: (
+                _live(res.routed)
+                .filter(F.col("r_damage_done") & ~F.col("m_immune"))
+                .join(F.broadcast(spark.createDataFrame(
+                    dg.spell_dim(),
+                    "spell_id long, spell_name string, school string")),
+                    "spell_id", "left")
+                .groupBy(F.coalesce("school", F.lit("unknown")).alias("school"))
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.sum(F.when(F.col("amount") != 0, F.col("amount"))
+                           .otherwise(0)).alias("total_damage"))),
+            # O5: the pull `data` blob — to_json encode, from_json decode,
+            # then scalar projections of the DECODED struct (value parity
+            # proves the round-trip without relying on cross-engine JSON
+            # text formatting)
+            "pull_json": lambda: (
+                agg.pull_json(res.pulls, res.damage_done_skills,
+                              res.damage_received_skills, res.heal,
+                              res.threat)
+                .select("log_id", "fight_seq",
+                        F.from_json("data", _PULL_JSON_SCHEMA).alias("d"))
+                .select(
+                    "log_id", "fight_seq",
+                    F.col("d.target").alias("target"),
+                    F.coalesce(F.size("d.damage_done"), F.lit(0))
+                    .alias("n_dd"),
+                    F.coalesce(F.size("d.damage_received"), F.lit(0))
+                    .alias("n_dr"),
+                    F.coalesce(F.size("d.heal"), F.lit(0)).alias("n_heal"),
+                    F.coalesce(F.size("d.threat"), F.lit(0)).alias("n_threat"),
+                    F.coalesce(F.aggregate(
+                        "d.damage_done", F.lit(0).cast("long"),
+                        lambda a, x: a + x["total_damage"]), F.lit(0))
+                    .alias("dd_total"),
+                    F.coalesce(F.aggregate(
+                        "d.heal", F.lit(0).cast("long"),
+                        lambda a, x: a + x["heal"]), F.lit(0))
+                    .alias("heal_total"),
+                    F.coalesce(F.aggregate(
+                        "d.threat", F.lit(0).cast("long"),
+                        lambda a, x: a + x["threat"]), F.lit(0))
+                    .alias("threat_total"))),
+            # skew-safe two-phase aggregation (salted partial agg) over the
+            # boss-skewed received-damage rows — exactness vs a plain
+            # GROUP BY in the oracle
+            "damage_skew": lambda: agg.salted_agg(
+                _live(res.routed).filter(F.col("r_damage_received"))
+                .select("log_id", "line_no", "fight_seq",
+                        F.col("src_name").alias("attacker"),
+                        F.when(~(F.col("m_miss") | F.col("m_resist")
+                                 | F.col("m_dodge")),
+                               F.col("amount")).otherwise(0).alias("dmg")),
+                ["log_id", "fight_seq", "attacker"], "dmg", "total_damage"),
         }
         out = frames[which]()
         order = [c for c in ("log_id", "fight_seq", "player", "skill",
-                             "attacker", "healer") if c in out.columns]
+                             "attacker", "healer", "school") if c in out.columns]
         return out.orderBy(*order) if order else out
     return q
 
@@ -98,8 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(text.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
     for name in ("pulls", "damage_done_skills", "damage_received_skills",
-                 "heal", "threat", "rates", "route_counts"):
+                 "heal", "threat", "rates", "route_counts", "enrich",
+                 "pull_json", "damage_skew"):
         out[f"combat_{name}"] = _combat(name)
     return out
 
@@ -109,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE_SQL)
     out.update(text.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
+    out.update(multimodal.media_oracle_queries())
     # combat_* oracles: the full parser re-derived in DuckDB SQL over the
     # same deterministic corpus embedded as VALUES (golden/sql_oracle.py) —
     # an independent second-engine derivation, not stored constants.

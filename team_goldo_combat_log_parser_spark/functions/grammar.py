@@ -132,6 +132,15 @@ def with_typed_columns(df: DataFrame) -> DataFrame:
         F.expr("substring(src_raw, 3)").alias("src_player"),
         _pre_brace(F.expr("substring(tgt_raw, 2)")).alias("tgt_name"),
         _pre_brace(F.expr("substring(skill_raw, 2)")).alias("skill"),
+        # --- typed ids (J2): numeric ids inside the braces — spell id from
+        # the skill field, verb/effect ids from the two braced groups of
+        # the effect field ("ApplyEffect {vid}: Damage {eid}")
+        F.regexp_extract(F.col("skill_raw"), r"\{(\d+)\}", 1)
+        .try_cast("long").alias("spell_id"),
+        F.regexp_extract(effect, r"^[^{]*\{(\d+)\}", 1)
+        .try_cast("long").alias("verb_id"),
+        F.regexp_extract(effect, r":[^{]*\{(\d+)\}", 1)
+        .try_cast("long").alias("effect_id"),
         # --- amount grammar
         F.regexp_extract(first_tok, r"^(\d+)", 1).try_cast("long").alias("amount"),
         first_tok.rlike(r"^\d+\*").alias("crit"),

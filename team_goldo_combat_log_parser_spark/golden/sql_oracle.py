@@ -59,6 +59,8 @@ typed AS (
     substring(src_raw, 3) AS src_player,
     (string_split(substring(tgt_raw, 2), '{{'))[1] AS tgt_name,
     (string_split(substring(skill_raw, 2), '{{'))[1] AS skill,
+    TRY_CAST(NULLIF(regexp_extract(skill_raw, '\\{{([0-9]+)\\}}', 1), '')
+             AS BIGINT) AS spell_id,
     TRY_CAST(NULLIF(regexp_extract(amount_raw, '^\\(([0-9]+)', 1), '')
              AS BIGINT) AS amount,
     regexp_extract(amount_raw, '^\\(\\S+\\s+(\\S+)', 1) AS dmg_type,
@@ -222,6 +224,15 @@ dr_players AS (
 """
 
 
+def _spell_dim_values() -> str:
+    """The J2 spell dictionary as SQL VALUES (same rows as
+    datagen.spell_dim, rendered for DuckDB)."""
+    from ..sources.datagen import spell_dim
+
+    return ",\n    ".join(
+        f"({sid}, '{name}', '{school}')" for sid, name, school in spell_dim())
+
+
 def _assert_wellformed_markers(corpus: list[tuple[str, list[str]]]) -> None:
     """Fail loudly if the corpus violates the fight-pairing simplification
     documented above (an EnterCombat while a fight is still open, i.e. a
@@ -331,6 +342,65 @@ LEFT JOIN heal h ON h.log_id = k.log_id AND h.fight_seq = k.fight_seq
 LEFT JOIN dr_players dr ON dr.log_id = k.log_id AND dr.fight_seq = k.fight_seq
   AND dr.player = k.player
 ORDER BY k.log_id, k.fight_seq, k.player
+"""
+
+    q["combat_enrich"] = base + f"""
+, spell_dim(spell_id, spell_name, school) AS (VALUES
+    {_spell_dim_values()}
+)
+SELECT coalesce(d.school, 'unknown') AS school,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN amount <> 0 THEN amount ELSE 0 END) AS BIGINT)
+         AS total_damage
+FROM live l LEFT JOIN spell_dim d ON l.spell_id = d.spell_id
+WHERE r_damage_done AND NOT m_immune
+GROUP BY 1 ORDER BY 1
+"""
+
+    q["combat_pull_json"] = base + """
+, dd_g AS (
+  SELECT log_id, fight_seq, fight_player, skill,
+         coalesce(SUM(CASE WHEN amount <> 0 THEN amount END), 0) AS td
+  FROM live WHERE r_damage_done AND NOT m_immune GROUP BY 1, 2, 3, 4
+), dr_g AS (
+  SELECT log_id, fight_seq, fight_player, src_name, skill
+  FROM live WHERE r_damage_received GROUP BY 1, 2, 3, 4, 5
+), dd_n AS (
+  SELECT log_id, fight_seq, COUNT(*) AS n_dd, CAST(SUM(td) AS BIGINT) AS dd_total
+  FROM dd_g GROUP BY 1, 2
+), dr_n AS (
+  SELECT log_id, fight_seq, COUNT(*) AS n_dr FROM dr_g GROUP BY 1, 2
+), h_n AS (
+  SELECT log_id, fight_seq, COUNT(*) AS n_heal,
+         CAST(SUM(heal) AS BIGINT) AS heal_total
+  FROM heal GROUP BY 1, 2
+), t_n AS (
+  SELECT log_id, fight_seq, COUNT(*) AS n_threat,
+         CAST(SUM(threat) AS BIGINT) AS threat_total
+  FROM threat GROUP BY 1, 2
+)
+SELECT p.log_id, p.fight_seq, p.target,
+       coalesce(dd_n.n_dd, 0) AS n_dd,
+       coalesce(dr_n.n_dr, 0) AS n_dr,
+       coalesce(h_n.n_heal, 0) AS n_heal,
+       coalesce(t_n.n_threat, 0) AS n_threat,
+       coalesce(dd_n.dd_total, 0) AS dd_total,
+       coalesce(h_n.heal_total, 0) AS heal_total,
+       coalesce(t_n.threat_total, 0) AS threat_total
+FROM pulls p
+LEFT JOIN dd_n ON dd_n.log_id = p.log_id AND dd_n.fight_seq = p.fight_seq
+LEFT JOIN dr_n ON dr_n.log_id = p.log_id AND dr_n.fight_seq = p.fight_seq
+LEFT JOIN h_n ON h_n.log_id = p.log_id AND h_n.fight_seq = p.fight_seq
+LEFT JOIN t_n ON t_n.log_id = p.log_id AND t_n.fight_seq = p.fight_seq
+ORDER BY p.log_id, p.fight_seq
+"""
+
+    q["combat_damage_skew"] = base + """
+SELECT log_id, fight_seq, src_name AS attacker,
+       CAST(SUM(CASE WHEN NOT (m_miss OR m_resist OR m_dodge)
+                     THEN amount ELSE 0 END) AS BIGINT) AS total_damage
+FROM live WHERE r_damage_received
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
     q["combat_route_counts"] = base + """

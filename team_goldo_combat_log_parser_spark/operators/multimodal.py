@@ -156,3 +156,84 @@ def sample_frames(df: DataFrame, every: int = 8) -> DataFrame:
             })
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ----------------------------------------------- driver queries + oracles
+
+N_MEDIA = 60  # driver-query corpus size
+
+
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: decode + feature-extract, integer-projected so the
+    sequential oracle can match values exactly (the float feature vector
+    itself is determinism-tested in pytest)."""
+    out = extract_features(synth_media_df(spark, N_MEDIA))
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        F.floor(F.col("mean_intensity") * 1e6).alias("mean_e6"),
+    ).orderBy("media_id")
+
+
+def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(synth_media_df(spark, N_MEDIA)).orderBy("media_id")
+
+
+def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (sample_frames(synth_media_df(spark, N_MEDIA))
+            .orderBy("media_id", "frame_idx"))
+
+
+def _synth_media_rows(n: int):
+    """The synth_media_df generator, driver-side (no Spark)."""
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        rng = np.random.RandomState(i)
+        payload = rng.bytes(256 + (i % 5) * 128)
+        w = 32 + i % 16 if kind != "audio" else None
+        h = 32 + i % 8 if kind != "audio" else None
+        nf = 24 + i % 10 if kind == "video" else None
+        yield i, kind, payload, w, h, nf
+
+
+def media_oracle_queries(n: int = N_MEDIA) -> dict[str, str]:
+    """Sequential (non-Spark) recomputation of the media queries, rendered
+    as DuckDB VALUES — verifies the distributed plumbing (mapInPandas
+    batching, Arrow binary transfer, filters) against a plain loop. The
+    fake decode is deterministic, so values are exact integers."""
+    feats, resizes, frames = [], [], []
+    out_w = out_h = 16
+    for i, kind, payload, w, h, nf in _synth_media_rows(n):
+        hh = int(h) if h is not None else 16
+        ww = int(w) if w is not None else 16
+        img = _fake_decode(payload, hh, ww)
+        mean_e6 = int(np.floor(float(img.mean()) * 1e6))
+        feats.append(f"({i}, '{kind}', {len(payload)}, {mean_e6})")
+        if kind == "image":
+            yi = (np.arange(out_h) * hh // out_h)
+            xi = (np.arange(out_w) * ww // out_w)
+            resizes.append(
+                f"({i}, {out_w}, {out_h}, {int(img[np.ix_(yi, xi)].sum())})")
+        if kind == "video":
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            for f in range(0, int(nf), 8):
+                sl = arr[(f * 7) % max(len(arr) - 8, 1):][:8]
+                frames.append(f"({i}, {f}, {int(sl.sum()) + f})")
+    return {
+        "media_features": (
+            "SELECT * FROM (VALUES\n    " + ",\n    ".join(feats)
+            + "\n) AS t(media_id, kind, n_bytes, mean_e6) ORDER BY media_id"),
+        "media_resize": (
+            "SELECT * FROM (VALUES\n    " + ",\n    ".join(resizes)
+            + "\n) AS t(media_id, out_w, out_h, checksum) ORDER BY media_id"),
+        "media_frames": (
+            "SELECT * FROM (VALUES\n    " + ",\n    ".join(frames)
+            + "\n) AS t(media_id, frame_idx, frame_checksum) "
+            "ORDER BY media_id, frame_idx"),
+    }
+
+
+QUERIES = {
+    "media_features": media_features_q,
+    "media_resize": media_resize_q,
+    "media_frames": media_frames_q,
+}

@@ -252,7 +252,28 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- oracle SQL
 
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 point lookup (reference /chart/<id>, main.py:379-382 analogue):
+    fetch one entity by primary key. The equality predicate must reach the
+    parquet scan as a pushed filter (asserted in
+    tests/test_plan_shape.py) so at scale only matching row groups are
+    read — min/max statistics prune everything else."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") == F.lit(32))
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+                F.col("o_orderdate").cast("string").alias("o_orderdate"))
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "point_lookup_order": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+               CAST(o_orderdate AS VARCHAR) AS o_orderdate
+        FROM orders WHERE o_orderkey = 32
+    """,
     "q1_pricing_rollup": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -399,4 +420,5 @@ QUERIES = {
     "running_value_sum": running_value_sum,
     "pivot_status_counts": pivot_status_counts,
     "unpivot_stack": unpivot_stack,
+    "point_lookup_order": point_lookup_order,
 }

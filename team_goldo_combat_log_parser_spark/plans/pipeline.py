@@ -57,6 +57,7 @@ def run_pipeline(
     parsed = parsed.select(
         "log_id", "line_no", "ts", "src_raw", "tgt_raw",
         "src_player", "src_name", "tgt_name", "skill",
+        "spell_id", "effect_id",
         "amount", "crit", "dmg_type", "absorbed", "threat", "has_threat",
         "is_enter", "is_leave", "is_death", "is_damage", "is_heal_eff",
         "is_fa", "is_event_verb", "is_apply_verb", "is_remove_verb",

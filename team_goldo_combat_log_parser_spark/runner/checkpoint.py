@@ -44,9 +44,18 @@ class Manifest:
             done.update(rec.get("sources", []))
         return done
 
+    def new_commit_id(self) -> str:
+        """Pre-allocate a commit id so output can be written under a
+        per-commit directory BEFORE the manifest record lands — a crash
+        between the writes and commit() then leaves an orphaned (never
+        referenced) directory, and the replay overwrites it: exactly-once
+        output, not at-least-once."""
+        return str(uuid.uuid4())
+
     def commit(self, sources: list[str], sink_counts: dict[str, int],
-               metrics: dict | None = None) -> str:
-        commit_id = str(uuid.uuid4())
+               metrics: dict | None = None,
+               commit_id: str | None = None) -> str:
+        commit_id = commit_id or str(uuid.uuid4())
         rec = {
             "commit_id": commit_id,
             "ts_unix": time.time(),

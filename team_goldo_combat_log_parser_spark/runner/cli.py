@@ -18,7 +18,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.pipeline import run_pipeline
@@ -36,7 +36,6 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--mode", default="append", choices=["append", "overwrite"])
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("goldo-pipeline").getOrCreate()
@@ -50,24 +49,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     res = run_pipeline(spark, todo)
+    # Output layout: <output>/<table>/commit=<id>/ — the commit id is
+    # allocated BEFORE any write, so a crash between the writes and the
+    # manifest commit leaves only an unreferenced directory and the replay
+    # overwrites it (idempotent / exactly-once), instead of appending
+    # duplicate rows. Readers see `commit` as a partition column when
+    # scanning <output>/<table>.
+    commit_id = manifest.new_commit_id()
     counts: dict[str, int] = {}
-    for name, df in res.sinks.items():
-        df.write.mode(args.mode).parquet(f"{args.output}/sink_{name}")
-        counts[f"sink_{name}"] = df.count()
-    for name, df in [("pulls", res.pulls),
-                     ("damage_done_skills", res.damage_done_skills),
-                     ("damage_received_skills", res.damage_received_skills),
-                     ("heal", res.heal), ("threat", res.threat),
-                     ("rates", res.rates)]:
-        df.write.mode(args.mode).parquet(f"{args.output}/{name}")
-        counts[name] = df.count()
+    tables = [(f"sink_{name}", df) for name, df in res.sinks.items()]
+    tables += [("pulls", res.pulls),
+               ("damage_done_skills", res.damage_done_skills),
+               ("damage_received_skills", res.damage_received_skills),
+               ("heal", res.heal), ("threat", res.threat),
+               ("rates", res.rates)]
+    for name, df in tables:
+        # Observation: row count rides along with the write — one action
+        # per table, not write + recount
+        obs = Observation(f"cnt_{name}")
+        (df.observe(obs, F.count(F.lit(1)).alias("n"))
+           .write.mode("overwrite")
+           .parquet(f"{args.output}/{name}/commit={commit_id}"))
+        counts[name] = obs.get["n"]
     routed = res.routed.select(
         *[F.sum(F.col(c).cast("long")).alias(c)
           for c in ["r_enter", "r_damage_done", "r_damage_received", "r_fa",
                     "r_heal", "r_exit", "r_threat"]]).collect()[0].asDict()
     res.unpersist()
 
-    commit = manifest.commit(sources, counts, metrics={"routed": routed})
+    commit = manifest.commit(sources, counts, metrics={"routed": routed},
+                             commit_id=commit_id)
     print(json.dumps({"status": "committed", "commit_id": commit,
                       "new_sources": len(sources), "counts": counts}))
     return 0

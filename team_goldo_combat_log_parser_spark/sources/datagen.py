@@ -349,6 +349,16 @@ def synth_log_rows(cfg: GenConfig, log_idx: int) -> list[tuple[str, str, str]]:
     return [(f"{log_name}:{i:08d}", ln, fname) for i, ln in enumerate(lines)]
 
 
+def spell_dim() -> list[tuple[int, str, str]]:
+    """The spell dictionary (J2 enrichment dim): (spell_id, spell_name,
+    school). School is a deterministic function of the id so the DuckDB
+    oracle can embed the identical dim as VALUES."""
+    schools = ["kinetic", "energy", "force", "tech"]
+    rows = [(sid, name, schools[sid % 4]) for name, sid in _SKILLS]
+    rows.append((EFF_FORCE_ARMOR, "Force Armor", schools[EFF_FORCE_ARMOR % 4]))
+    return sorted(rows)
+
+
 # ------------------------------------------------------------------ tokenizer
 
 

@@ -36,6 +36,7 @@ from ..constants import (
     ABSORB,
     DAMAGE,
     DEATH,
+    DEFLECT,
     DODGE,
     ENTER_COMBAT,
     FORCE_ARMOR,
@@ -59,22 +60,46 @@ PULL_OUT_SCHEMA = T.StructType([
     T.StructField("total_damage", T.LongType()),
     T.StructField("player_heal", T.LongType()),
     T.StructField("threat", T.LongType()),
+    T.StructField("dmg_rcvd", T.LongType()),
+    # per-healer heal credits (direct + absorb) as a JSON object — the
+    # streaming mirror of the batch heal_per_healer table for this fight
+    T.StructField("heal_map", T.StringType()),
 ])
 
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
 
 
 def _first_int(amount: str) -> int:
+    n = _first_int_opt(amount)
+    return n if n is not None else 0
+
+
+def _first_int_opt(amount: str) -> int | None:
     tok = amount[1:].split(None, 1)
     if not tok:
-        return 0
+        return None
     digits = ""
     for ch in tok[0]:
         if ch.isdigit():
             digits += ch
         else:
             break
-    return int(digits) if digits else 0
+    return int(digits) if digits else None
+
+
+def _absorbed_opt(amount: str) -> int | None:
+    """The absorbed value: first integer after the second '(' (same group
+    the batch grammar's ^\\(([^(]*)\\((\\d+) regex captures)."""
+    i = amount.find("(", 1)
+    if i < 0:
+        return None
+    digits = ""
+    for ch in amount[i + 1:]:
+        if ch.isdigit():
+            digits += ch
+        else:
+            break
+    return int(digits) if digits else None
 
 
 def _fold(st: dict, r) -> dict | None:
@@ -84,7 +109,8 @@ def _fold(st: dict, r) -> dict | None:
     if not st["in_combat"] and ENTER_COMBAT in eff:
         st.update(in_combat=True, player=r.src_raw[2:], seq=st["seq"] + 1,
                   start=f"{r.log_date} {r.time_raw[1:]}", target=None,
-                  dmg=0, heal=0, threat=0)
+                  dmg=0, heal=0, threat=0, dmg_rcvd=0,
+                  heal_by={r.src_raw[2:]: 0})
         return None
     if not st["in_combat"]:
         if FORCE_ARMOR in eff and "@" in r.tgt_raw:
@@ -97,17 +123,33 @@ def _fold(st: dict, r) -> dict | None:
         n = _first_int(amt)
         if n:
             st["dmg"] += n
+    if DAMAGE in eff and player in r.tgt_raw:
+        # damage-received accounting + absorb-to-healer credit (the batch
+        # heal_per_healer / damage_received_players semantics)
+        mitigated = (MISS in amt or RESIST in amt or DODGE in amt
+                     or PARRY in amt or DEFLECT in amt)
+        n = _first_int_opt(amt)
+        if not mitigated and n is not None:
+            st["dmg_rcvd"] += n
+        if ABSORB in amt and MISS not in amt:
+            absorbed = _absorbed_opt(amt)
+            if absorbed is not None and n is not None and absorbed <= n:
+                k = st["healer"] if st["healer"] is not None else "null"
+                st["heal_by"][k] = st["heal_by"].get(k, 0) + absorbed
     if FORCE_ARMOR in eff and "@" in r.tgt_raw:
         st["healer"] = r.src_raw[2:]
     if HEAL in eff and player in r.src_raw and REVIVE not in r.skill_raw:
-        st["heal"] += _first_int(amt)
+        h = _first_int(amt)
+        st["heal"] += h
+        st["heal_by"][player] = st["heal_by"].get(player, 0) + h
     exited = False
     if (DEATH in eff or LEAVE_COMBAT in eff) and player in r.tgt_raw:
         out = dict(fight_seq=st["seq"], pull_start=st["start"],
                    pull_stop=f"{r.log_date} {r.time_raw[1:]}",
                    target=st["target"], player=player,
                    total_damage=st["dmg"], player_heal=st["heal"],
-                   threat=st["threat"])
+                   threat=st["threat"], dmg_rcvd=st["dmg_rcvd"],
+                   heal_map=json.dumps(st["heal_by"], sort_keys=True))
         st.update(in_combat=False, player=None, healer=None)
         exited = True
     if not exited and "<" in amt and player in r.src_raw:

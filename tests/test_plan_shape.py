@@ -1,0 +1,42 @@
+"""Physical-plan shape assertions: the properties that make the queries
+scale are checked from .explain output, not just asserted in prose.
+
+* point lookup: the key equality must be a PushedFilter on the parquet
+  scan (file/row-group pruning via min-max stats at scale);
+* projection pruning: a 2-column query must not read the full schema;
+* broadcast enrich: the dim side must broadcast, not shuffle.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from team_goldo_combat_log_parser_spark.operators import relational
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushdown(spark):
+    plan = plan_of(relational.point_lookup_order(spark, SF))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(o_orderkey,32)" in pushed, pushed
+    # column pruning: the scan must not read unused columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_comment" not in read and "o_clerk" not in read, read
+
+
+def test_point_lookup_result(spark):
+    rows = relational.point_lookup_order(spark, SF).collect()
+    assert len(rows) == 1 and rows[0]["o_orderkey"] == 32
+
+
+def test_broadcast_enrich_is_broadcast(spark):
+    plan = plan_of(relational.broadcast_enrich_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

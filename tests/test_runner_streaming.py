@@ -88,3 +88,23 @@ def test_streaming_pulls_match_batch(spark, tmp_path):
           for r in batch.threat.collect()}
     for r in stream_rows:
         assert r["threat"] == bt[(r["log_id"], r["fight_seq"])]
+    # damage-received parity vs batch damage_received_players
+    bdr = {(r["log_id"], r["fight_seq"]): r["amount"]
+           for r in batch.extra["damage_received_players"].collect()}
+    for r in stream_rows:
+        assert r["dmg_rcvd"] == bdr.get((r["log_id"], r["fight_seq"]), 0)
+    # heal parity (direct + absorb-to-healer credit) vs batch heal table
+    bh = {}
+    for hr in batch.heal.collect():
+        key = (hr["log_id"], hr["fight_seq"])
+        healer = hr["healer"] if hr["healer"] is not None else "null"
+        bh.setdefault(key, {})[healer] = hr["heal"]
+    saw_absorb_credit = False
+    for r in stream_rows:
+        got = json.loads(r["heal_map"])
+        want = bh.get((r["log_id"], r["fight_seq"]), {})
+        assert got == want, (r["log_id"], r["fight_seq"], got, want)
+        if any(h != r["player"] and v > 0 for h, v in got.items()):
+            saw_absorb_credit = True
+    # the corpus must actually exercise the absorb-credit path
+    assert saw_absorb_credit
