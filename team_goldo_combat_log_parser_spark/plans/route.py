@@ -54,7 +54,10 @@ def with_routes(assigned: DataFrame) -> DataFrame:
         # in_combat condition, main.py:43-44) but is still behind the
         # ignore-pull gate when inside a duplicate fight.
         (F.col("is_fa") & F.col("tgt_has_at") & (~in_fight | gate)).alias("r_fa"),
-    )
+    ).drop("src_raw", "tgt_raw")
+    # raws dropped BEFORE the window: every routing predicate that needed
+    # them is now a boolean flag, and the healer window's exchange would
+    # otherwise shuffle ~60 bytes/row of strings nothing downstream reads
 
     # healer-as-of: one window partitioning (log_id, ordered by line_no)
     # shared by all three functions -> a single exchange+sort.

@@ -1,0 +1,67 @@
+"""S1 input-format coverage: the Iceberg branch of the token-table reader.
+
+The container ships no iceberg-spark-runtime jar (and has no network to
+fetch one), so the real roundtrip is skip-marked; what CAN be proven
+offline is proven: the `iceberg:` URI branch genuinely dispatches to the
+Iceberg DataSource (the failure is DATA_SOURCE_NOT_FOUND for 'iceberg',
+not a silent parquet fallback), and the parquet branch handles everything
+else.
+"""
+
+import glob
+import os
+
+import pytest
+
+from team_goldo_combat_log_parser_spark.runner.cli import read_tokens
+from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+
+def _has_iceberg_jar() -> bool:
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    return bool(glob.glob(f"{spark_home}/jars/iceberg-spark-runtime*.jar"))
+
+
+def test_iceberg_uri_dispatches_to_iceberg_source(spark):
+    """`iceberg:` URIs must reach the Iceberg DataSource — with no runtime
+    jar the load fails AT FORMAT RESOLUTION, naming 'iceberg'; a bug that
+    silently fell through to the parquet reader would fail differently
+    (path-not-found) or not at all."""
+    with pytest.raises(Exception) as ei:
+        read_tokens(spark, "iceberg:local.db.tokens").limit(1).collect()
+    msg = str(ei.value)
+    assert "iceberg" in msg.lower(), msg
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg, msg
+
+
+def test_parquet_branch_reads(spark, tmp_path):
+    logs = dg.adversarial_logs()
+    dg.write_token_table(spark, logs, str(tmp_path / "t"), 2)
+    df = read_tokens(spark, str(tmp_path / "t"))
+    assert df.count() == sum(len(ls) for _, ls in logs)
+    assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+
+
+@pytest.mark.skipif(not _has_iceberg_jar(),
+                    reason="iceberg-spark-runtime jar not in this container")
+def test_iceberg_roundtrip(tmp_path):
+    """Full write/read roundtrip against a Hadoop-catalog Iceberg warehouse
+    (runs wherever the runtime jar is present, e.g. a real cluster)."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-rt")
+        .config("spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions")
+        .config("spark.sql.catalog.local",
+                "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.local.type", "hadoop")
+        .config("spark.sql.catalog.local.warehouse", str(tmp_path / "wh"))
+        .getOrCreate()
+    )
+    logs = dg.adversarial_logs()
+    dg.token_df(spark, logs).writeTo("local.db.tokens").createOrReplace()
+    df = read_tokens(spark, "iceberg:local.db.tokens")
+    assert df.count() == sum(len(ls) for _, ls in logs)

@@ -32,3 +32,21 @@ def test_latin1_names_survive(spark):
     assert dg.detokenize(toks) == line
     df = dg.token_df(spark, [("combat_2012-01-01_x.txt", [line])])
     assert token_equality_violations(df) == 0
+
+
+def test_native_detok_bit_identical(spark):
+    """The pure-JVM chr/array_join detok must equal the Arrow pandas UDF
+    byte-for-byte, including >=128 latin-1 bytes and empty lines."""
+    from pyspark.sql import functions as F
+
+    from team_goldo_combat_log_parser_spark.functions.grammar import (
+        detokenize_lines)
+
+    log = dg.sample_file_log()
+    logs = [log, ("combat_2012-01-01_e.txt", ["", "[]] ]", "@Bél´tran \xff"])]
+    df = dg.token_df(spark, logs)
+    a = detokenize_lines(df).select("doc_id", "line")
+    b = detokenize_lines(df, native=True).select(
+        "doc_id", F.col("line").alias("line_n"))
+    diff = a.join(b, "doc_id").filter(F.col("line") != F.col("line_n"))
+    assert diff.count() == 0
