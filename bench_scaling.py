@@ -57,11 +57,13 @@ from team_goldo_combat_log_parser_spark.session import get_spark
 from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
 import bench
 
+import os as _os
 n_exec = int(sys.argv[1]); token_path = sys.argv[2]; reps = int(sys.argv[3])
+cpe = int(_os.environ.get("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "2"))
 spark = get_spark(
-    f"scale{{n_exec}}x2",
-    cores=2 * n_exec,
-    master=f"local-cluster[{{n_exec}},2,8192]",
+    f"scale{{n_exec}}x{{cpe}}",
+    cores=cpe * n_exec,
+    master=f"local-cluster[{{n_exec}},{{cpe}},8192]",
     extra_conf={{"spark.executor.memory": "7g",
                  "spark.locality.wait": "0s",
                  "spark.driver.memory": "8g"}},
@@ -145,6 +147,7 @@ def main() -> None:
     token_path = out.stdout.strip().splitlines()[-1]
 
     small_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    cpe = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "2"))
     big_n = small_n * 4
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
     acc = {small_n: [], big_n: []}
@@ -158,8 +161,8 @@ def main() -> None:
         acc[big_n].extend(rb["samples"])
         # bandwidth probes run between levels, when no executor JVM is
         # alive — measuring under a live Spark fleet reads garbage
-        bw[small_n].append(bw_at(2 * small_n))
-        bw[big_n].append(bw_at(2 * big_n))
+        bw[small_n].append(bw_at(cpe * small_n))
+        bw[big_n].append(bw_at(cpe * big_n))
         lines, routed = rb["lines"], rb["routed"]
         # per-round (paired-in-time) efficiency: best sample of each level
         # within the SAME round, so both saw a similar host window
@@ -296,7 +299,9 @@ Reference baseline: the upstream app is a single-threaded row-at-a-time
 Python parser (no published numbers — BASELINE.md); this engine exceeds
 it by >10x per core and scales with executors as shown.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    out_md = os.environ.get("SPARK_GRAFT_SCALE_MD",
+                            os.path.join(REPO, "BENCH", "BASELINE.md"))
+    with open(out_md, "w") as fh:
         fh.write(md)
 
 

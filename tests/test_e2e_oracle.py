@@ -122,3 +122,20 @@ def test_shuffle_join_path(spark, broadcast):
     res = run_pipeline(spark, dg.token_df(spark, logs),
                        broadcast_fights=broadcast, cache=False)
     assert spark_pulls(res) == oracle_pulls(oracle)
+
+
+def test_cache_parsed_plans_agree(spark):
+    """Both physical strategies — re-parse for the markers pass (default)
+    and single-parse with a persisted projection (cache_parsed=True) —
+    must produce identical pulls and heal tables."""
+    from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
+    from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+    tokens = dg.token_df(spark, dg.adversarial_logs())
+    a = run_pipeline(spark, tokens)
+    b = run_pipeline(spark, tokens, cache_parsed=True)
+    for ta, tb in ((a.pulls, b.pulls), (a.heal, b.heal), (a.threat, b.threat)):
+        ra = sorted(map(str, ta.collect()))
+        rb = sorted(map(str, tb.collect()))
+        assert ra == rb
+    a.unpersist(); b.unpersist()
