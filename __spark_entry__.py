@@ -9,12 +9,18 @@ queries()         -> one callable per implemented operator (SURVEY.md par.2
                      (seeded; input shape per BASELINE.json input_hint) and
                      ARE value-checked: oracle_sql() registers a full DuckDB
                      SQL re-derivation of the parser for every combat_*
-                     query (golden/sql_oracle.py). Only the hash-sketch ops
-                     (minhash/simhash/fingerprint/lsh_ann) are rows-only,
-                     with pytest recall gates instead.
-oracle_sql()      -> DuckDB-equivalent SQL for every relational / text /
-                     similarity operator (exact value parity via DECIMAL
-                     arithmetic and string-formatted timestamps).
+                     query (golden/sql_oracle.py).
+oracle_sql()      -> DuckDB-equivalent SQL for EVERY query, including the
+                     hash-sketch ops (minhash/simhash/fingerprint/lsh_ann,
+                     golden/sketch_oracle.py: independent pure-Python XXH64
+                     + SQL re-derivation of the banding/voting/blocking
+                     pipelines) and the media ops (sequential recomputation
+                     rendered as VALUES — a PLUMBING check: it shares the
+                     fake-decode definition with the Spark path, so it
+                     verifies the mapInPandas/Arrow distribution, not the
+                     decode math itself; the decode is determinism-tested
+                     in pytest). Exact value parity via DECIMAL arithmetic,
+                     string-formatted timestamps, floor-not-round doubles.
 """
 
 from __future__ import annotations
@@ -24,6 +30,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from team_goldo_combat_log_parser_spark.golden.sketch_oracle import (
+    sketch_oracle_queries)
 from team_goldo_combat_log_parser_spark.golden.sql_oracle import (
     combat_oracle_queries)
 from team_goldo_combat_log_parser_spark.operators import (
@@ -181,6 +189,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLE_SQL)
     out.update(similarity.ORACLE_SQL)
     out.update(multimodal.media_oracle_queries())
+    # hash-sketch oracles: independent XXH64 + SQL re-derivation (MinHash/
+    # SimHash) or sequential recomputation (fingerprint/ANN); inputs read
+    # at the driver's correctness scale (SPARK_GRAFT_ORACLE_SF_DIR,
+    # default sf0.01)
+    out.update(sketch_oracle_queries())
     # combat_* oracles: the full parser re-derived in DuckDB SQL over the
     # same deterministic corpus embedded as VALUES (golden/sql_oracle.py) —
     # an independent second-engine derivation, not stored constants.

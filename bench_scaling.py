@@ -130,6 +130,7 @@ def run_level(n_exec: int, token_path: str, reps: int = 2) -> dict:
 
 
 def main() -> None:
+    n_logs = int(os.environ.get("SPARK_GRAFT_SCALE_LOGS", "256"))
     prep = (
         "import sys; sys.path.insert(0, %r); "
         "from team_goldo_combat_log_parser_spark.session import get_spark; "
@@ -137,9 +138,9 @@ def main() -> None:
         "materialize_token_table; "
         "from team_goldo_combat_log_parser_spark.sources.datagen import GenConfig; "
         "s = get_spark('prep', cores=32); "
-        "print(materialize_token_table(s, GenConfig(n_logs=256, fights_per_log=6, "
+        "print(materialize_token_table(s, GenConfig(n_logs=%d, fights_per_log=6, "
         "rows_per_fight=4000, seed=42), %r, 64))"
-        % (REPO, CORPUS_CACHE)
+        % (REPO, n_logs, CORPUS_CACHE)
     )
     out = subprocess.run([sys.executable, "-c", prep], capture_output=True,
                          text=True, timeout=2400,
@@ -229,9 +230,9 @@ def main() -> None:
 North-rule evidence: the identical combat pipeline job (detokenize ->
 parse -> sessionize -> route -> aggregate; routed flags + pulls + all
 aggregate tables) over the same {lines:,}-line parquet token corpus
-({routed:,} routed events, 256 logs) at **{small['executors']} vs
+({routed:,} routed events, {n_logs} logs) at **{small['executors']} vs
 {big['executors']} real executor JVMs** (Spark ``local-cluster`` master,
-2 cores + 7g each — the faithful single-machine analogue of an
+{cpe} core(s) + 7g each — the faithful single-machine analogue of an
 N-executor cluster: separate heaps, separate Python UDF workers, shuffle
 between executors), in {rounds} PAIRED rounds of fresh-driver
 subprocesses (N then 4N back-to-back, so each pair sees a similar host
@@ -244,7 +245,7 @@ timed run is bracketed by a canary — a 2s, 32-process busy loop
 measuring instantaneous host capacity (Miters/s) — and canary-normalized
 throughput is reported alongside raw.
 
-| executors (2 cores each) | best wall (s) | best events/s | best normalized (ev/s per host-M/s) |
+| executors ({cpe} core(s) each) | best wall (s) | best events/s | best normalized (ev/s per host-M/s) |
 |---|---|---|---|
 | {small['executors']} (N) | {small['min_sec']} | {small['max_eps']:,.0f} | {small['max_eps_norm']} |
 | {big['executors']} (4N) | {big['min_sec']} | {big['max_eps']:,.0f} | {big['max_eps_norm']} |
@@ -259,8 +260,8 @@ luck-sensitive): {best_eff_norm:.3f} normalized / {best_eff_raw:.3f} raw.
 **The single-box roofline — why raw 4x-core efficiency is capped below
 0.8 on this sandbox, and why it does not cap a real cluster.** A
 memcpy canary measured DURING this run shows the box's deliverable
-memory bandwidth is {bw_small:,.0f} GB/s at {small['executors'] * 2}
-concurrent streams and {bw_big:,.0f} GB/s at {big['executors'] * 2}
+memory bandwidth is {bw_small:,.0f} GB/s at {small['executors'] * cpe}
+concurrent streams and {bw_big:,.0f} GB/s at {big['executors'] * cpe}
 (standalone sweep: ~30 GB/s x1, ~70 x2, ~110-150 x4, saturated
 ~130-165 from 8 up). Quadrupling cores therefore buys only
 {bw_speedup:.2f}x more bandwidth, and this pipeline is a byte-streaming
@@ -273,13 +274,13 @@ N-executor cluster every node adds its own memory bus (bandwidth scales
 with N by construction), so the binding constraint disappears; what the
 north rule actually probes — does the PLAN serialize anywhere? — is
 answered by the shuffle budget (SCALE.md): map-only parse, one bounded
-markers shuffle, one window exchange keyed by 256+ logs, partial
+markers shuffle, one window exchange keyed by {n_logs}+ logs, partial
 aggregation before every shuffle, no driver-side loops.
 
 Spark config at both levels: AQE on (coalescePartitions + skewJoin),
 shuffle partitions = total cores, Arrow batch 20k rows,
 `spark.sql.inMemoryColumnarStorage.compressed=false`,
-`spark.locality.wait=0`; input 256-log token corpus generated
+`spark.locality.wait=0`; input {n_logs}-log token corpus generated
 distributed (spark.range + per-log seeded generator); pipeline config:
 arrow-vectorized detok, no full-width parsed cache (the two measured
 fastest and best-scaling variants of four probed).

@@ -10,6 +10,8 @@ same banding trick as MinHash-LSH for text.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -104,9 +106,12 @@ N_BANDS = 16
 BAND_BITS = N_PLANES // N_BANDS  # 8
 
 
+@lru_cache(maxsize=8)
 def _planes_matrix(dim: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (seeded xorshift, no wall
-    clock): (dim, N_PLANES) float64 matrix."""
+    clock): (dim, N_PLANES) float64 matrix. Memoized per dim — the pandas
+    UDF calls this once per Arrow batch, and the ~8k-iteration generator
+    loop would otherwise re-run on the hot signature path every batch."""
     state = 88172645463325252
     vals = []
     for _ in range(N_PLANES * dim):
