@@ -24,10 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # real decoder if available (not in this container)
-    from PIL import Image  # noqa: F401
+    from PIL import Image
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
+    Image = None
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -56,10 +57,17 @@ def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode path — unavailable here by design."""
+    """Real decode path: PIL bytes -> grayscale uint8 (h, w) array.
+    Raises only when PIL is genuinely absent (this container has no
+    codecs); tests/test_sketch_and_media.py carries a skip-marked test
+    that exercises the real decode wherever PIL exists, mirroring the
+    jar-gated Iceberg roundtrip pattern."""
     if not HAVE_PIL:
         raise NotImplementedError("image codec not available in this container")
-    raise NotImplementedError("real decode wired when PIL present")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
@@ -200,6 +208,11 @@ def media_oracle_queries(n: int = N_MEDIA) -> dict[str, str]:
     as DuckDB VALUES — verifies the distributed plumbing (mapInPandas
     batching, Arrow binary transfer, filters) against a plain loop. The
     fake decode is deterministic, so values are exact integers."""
+    if n < 3:
+        # kinds cycle image/audio/video by i % 3 — below 3 rows at least
+        # one VALUES list is empty and the rendered SQL would be malformed
+        raise ValueError(f"n={n} cannot populate all three media kinds; "
+                         "need n >= 3")
     feats, resizes, frames = [], [], []
     out_w = out_h = 16
     for i, kind, payload, w, h, nf in _synth_media_rows(n):

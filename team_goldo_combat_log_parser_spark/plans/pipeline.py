@@ -105,25 +105,8 @@ def run_pipeline(
     )
 
 
-def write_sinks(result: PipelineResult, out_dir: str) -> dict[str, int]:
-    """Materialize the five event sinks + aggregate tables as parquet;
-    returns per-sink row counts (the lineage/metrics record)."""
-    counts: dict[str, int] = {}
-    for name, df in result.sinks.items():
-        path = f"{out_dir}/sink_{name}"
-        df.drop("tokens").write.mode("overwrite").parquet(path)
-        counts[name] = df.count()
-    for name, df in [
-        ("pulls", result.pulls),
-        ("damage_done_skills", result.damage_done_skills),
-        ("damage_received_skills", result.damage_received_skills),
-        ("heal", result.heal),
-        ("threat", result.threat),
-    ]:
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-        counts[name] = df.count()
-    return counts
-
+# NOTE: sink materialization lives in runner/cli.py (`run` + Observation
+# row counts — ONE job per sink, no write-then-recount re-execution).
 
 def token_equality_violations(token_df: DataFrame) -> int:
     """Per-row invariant (BASELINE.json): retokenize(detokenize(tokens))

@@ -13,10 +13,10 @@ atomic per-commit files (write-to-temp + rename), readable without Spark.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,18 +44,22 @@ class Manifest:
             done.update(rec.get("sources", []))
         return done
 
-    def new_commit_id(self) -> str:
-        """Pre-allocate a commit id so output can be written under a
-        per-commit directory BEFORE the manifest record lands — a crash
-        between the writes and commit() then leaves an orphaned (never
-        referenced) directory, and the replay overwrites it: exactly-once
-        output, not at-least-once."""
-        return str(uuid.uuid4())
+    def new_commit_id(self, sources: list[str]) -> str:
+        """Commit id DERIVED from the (sorted) source set, allocated before
+        any write. Determinism is what makes replay exactly-once: a crash
+        between the writes and commit() leaves an orphaned output
+        directory, and because the replay processes the same still-
+        uncommitted sources it computes the SAME id and overwrites the
+        orphan in place — a random id would write a second directory and
+        partition-discovery readers would see both (duplicate rows)."""
+        digest = hashlib.sha256(
+            "\n".join(sorted(sources)).encode("utf-8")).hexdigest()[:16]
+        return f"c{digest}"
 
     def commit(self, sources: list[str], sink_counts: dict[str, int],
                metrics: dict | None = None,
                commit_id: str | None = None) -> str:
-        commit_id = commit_id or str(uuid.uuid4())
+        commit_id = commit_id or self.new_commit_id(sources)
         rec = {
             "commit_id": commit_id,
             "ts_unix": time.time(),

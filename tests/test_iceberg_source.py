@@ -12,8 +12,10 @@ import glob
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
-from team_goldo_combat_log_parser_spark.runner.cli import read_tokens
+from team_goldo_combat_log_parser_spark.runner.cli import (
+    read_tokens, write_table)
 from team_goldo_combat_log_parser_spark.sources import datagen as dg
 
 
@@ -42,6 +44,22 @@ def test_parquet_branch_reads(spark, tmp_path):
     assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
 
 
+def test_iceberg_write_dispatches_to_catalog(spark):
+    """`iceberg:` OUTPUTS must reach the catalog API — with no catalog
+    configured the write fails resolving the catalog by name, and no
+    parquet directory is silently written instead."""
+    df = spark.range(1).select(
+        F.lit("combat_2012-01-01_00_00_00_x").alias("log_id"),
+        F.col("id"))
+    with pytest.raises(Exception) as ei:
+        write_table(df, "iceberg:noicecat.db", "pulls", "c1")
+    msg = str(ei.value)
+    assert "noicecat" in msg or "catalog" in msg.lower(), msg
+    # a buggy fallthrough to the parquet branch would create this literal
+    # relative directory
+    assert not os.path.exists("iceberg:noicecat.db")
+
+
 @pytest.mark.skipif(not _has_iceberg_jar(),
                     reason="iceberg-spark-runtime jar not in this container")
 def test_iceberg_roundtrip(tmp_path):
@@ -64,4 +82,13 @@ def test_iceberg_roundtrip(tmp_path):
     logs = dg.adversarial_logs()
     dg.token_df(spark, logs).writeTo("local.db.tokens").createOrReplace()
     df = read_tokens(spark, "iceberg:local.db.tokens")
-    assert df.count() == sum(len(ls) for _, ls in logs)
+    n = sum(len(ls) for _, ls in logs)
+    assert df.count() == n
+
+    # runner write branch: create, then replay the SAME commit — the
+    # per-commit overwrite must leave the row count unchanged (exactly-
+    # once), mirroring the parquet path's deterministic commit dirs
+    write_table(df, "iceberg:local.db", "tokens_w", "c1")
+    assert spark.table("local.db.tokens_w").count() == n
+    write_table(df, "iceberg:local.db", "tokens_w", "c1")
+    assert spark.table("local.db.tokens_w").count() == n

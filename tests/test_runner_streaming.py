@@ -1,8 +1,14 @@
 """Runner (resumable checkpoint manifest) and Structured Streaming tests."""
 
+import glob
+import io
 import json
+import os
 import subprocess
 import sys
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
 
 from team_goldo_combat_log_parser_spark.runner.checkpoint import (
     Manifest, filter_unprocessed)
@@ -65,6 +71,47 @@ def test_cli_end_to_end(tmp_path):
                         capture_output=True, text=True, timeout=600)
     out2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert out2["status"] == "up-to-date"
+
+    # crash-replay exactly-once: delete the manifest record (simulating a
+    # crash AFTER the writes but BEFORE the manifest commit) — the replay
+    # must derive the SAME commit id from the same source set and
+    # overwrite the orphaned directory, leaving exactly one commit dir
+    for rec in glob.glob(f"{tmp_path}/ckpt/manifest/*.json"):
+        os.remove(rec)
+    r3 = subprocess.run([sys.executable, "-c", runner, *env_args],
+                        capture_output=True, text=True, timeout=600)
+    out3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert out3["status"] == "committed"
+    assert out3["commit_id"] == out1["commit_id"], "replay must reuse the id"
+    assert out3["counts"] == out1["counts"]
+    commit_dirs = glob.glob(f"{tmp_path}/out/pulls/commit=*")
+    assert len(commit_dirs) == 1, commit_dirs
+
+
+def test_sink_partitioned_by_log_date(spark, tmp_path):
+    """Sinks are written partitioned by log_date (day prefix of log_id):
+    a reader filtering one day must hit a partition filter, not a scan of
+    every file — the 100 TB raid-night drill-down depends on it."""
+    from team_goldo_combat_log_parser_spark.runner.cli import write_table
+
+    res = run_pipeline(spark, dg.token_df(spark, dg.adversarial_logs()),
+                       cache=False)
+    write_table(res.sinks["damage"], str(tmp_path / "out"), "sink_damage",
+                "ctest")
+    days = sorted(os.path.basename(p).split("=")[1] for p in glob.glob(
+        f"{tmp_path}/out/sink_damage/commit=ctest/log_date=*"))
+    assert days == ["2012-08-01", "2012-08-02"], days
+
+    back = spark.read.parquet(f"{tmp_path}/out/sink_damage")
+    q = back.filter(F.col("log_date") == "2012-08-01")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "log_date" in pf[0], plan
+    assert q.count() == back.count() - back.filter(
+        F.col("log_date") == "2012-08-02").count()
 
 
 def test_streaming_pulls_match_batch(spark, tmp_path):

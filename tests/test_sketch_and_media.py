@@ -161,3 +161,30 @@ def test_decode_stub_raises_without_codec():
     if not multimodal.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+
+
+@pytest.mark.skipif(not multimodal.HAVE_PIL,
+                    reason="PIL not in this container")
+def test_real_image_decode_roundtrip():
+    """Real decode path (runs wherever PIL exists, e.g. a real cluster):
+    PNG bytes -> grayscale uint8 array with the image's (h, w)."""
+    import io
+
+    from PIL import Image
+
+    src = np.arange(40, dtype=np.uint8).reshape(5, 8)
+    buf = io.BytesIO()
+    Image.fromarray(src, mode="L").save(buf, format="PNG")
+    arr = multimodal.decode_image(buf.getvalue())
+    assert arr.shape == (5, 8) and arr.dtype == np.uint8
+    assert (arr == src).all()
+
+
+def test_media_oracle_rejects_incomplete_corpus():
+    """n < 3 leaves a media kind with zero rows — the builder must fail
+    loudly instead of rendering a malformed empty VALUES clause."""
+    with pytest.raises(ValueError, match="media kinds"):
+        multimodal.media_oracle_queries(2)
+    # n == 3 is the smallest corpus with all three kinds present
+    qs = multimodal.media_oracle_queries(3)
+    assert all("VALUES" in q for q in qs.values())
