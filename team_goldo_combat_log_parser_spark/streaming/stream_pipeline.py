@@ -64,6 +64,11 @@ PULL_OUT_SCHEMA = T.StructType([
     # per-healer heal credits (direct + absorb) as a JSON object — the
     # streaming mirror of the batch heal_per_healer table for this fight
     T.StructField("heal_map", T.StringType()),
+    # per-skill damage-done as a JSON object {skill: [hit, dodged, missed,
+    # total_damage]} — the streaming mirror of batch damage_done_skills
+    # (A2); same zero-split semantics (dodged iff the DODGE id, else
+    # missed) and the same trailing-space skill keys
+    T.StructField("dd_map", T.StringType()),
 ])
 
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
@@ -110,7 +115,7 @@ def _fold(st: dict, r) -> dict | None:
         st.update(in_combat=True, player=r.src_raw[2:], seq=st["seq"] + 1,
                   start=f"{r.log_date} {r.time_raw[1:]}", target=None,
                   dmg=0, heal=0, threat=0, dmg_rcvd=0,
-                  heal_by={r.src_raw[2:]: 0})
+                  heal_by={r.src_raw[2:]: 0}, dd_by={})
         return None
     if not st["in_combat"]:
         if FORCE_ARMOR in eff and "@" in r.tgt_raw:
@@ -120,9 +125,17 @@ def _fold(st: dict, r) -> dict | None:
     out = None
     if DAMAGE in eff and player in r.src_raw and NO_DAMAGE not in amt:
         st["target"] = r.tgt_raw[1:].split("{", 1)[0]
-        n = _first_int(amt)
+        n = _first_int_opt(amt)
+        skill = r.skill_raw[1:].split("{", 1)[0]
+        entry = st["dd_by"].setdefault(skill, [0, 0, 0, 0])
         if n:
             st["dmg"] += n
+            entry[0] += 1          # hit
+            entry[3] += n          # total_damage
+        elif n == 0:
+            # amount==0 splits dodged-vs-missed on the DODGE id only,
+            # same as batch m_dodge_single (main.py:163-167)
+            entry[1 if DODGE in amt else 2] += 1
     if DAMAGE in eff and player in r.tgt_raw:
         # damage-received accounting + absorb-to-healer credit (the batch
         # heal_per_healer / damage_received_players semantics)
@@ -149,7 +162,8 @@ def _fold(st: dict, r) -> dict | None:
                    target=st["target"], player=player,
                    total_damage=st["dmg"], player_heal=st["heal"],
                    threat=st["threat"], dmg_rcvd=st["dmg_rcvd"],
-                   heal_map=json.dumps(st["heal_by"], sort_keys=True))
+                   heal_map=json.dumps(st["heal_by"], sort_keys=True),
+                   dd_map=json.dumps(st["dd_by"], sort_keys=True))
         st.update(in_combat=False, player=None, healer=None)
         exited = True
     if not exited and "<" in amt and player in r.src_raw:
@@ -163,6 +177,10 @@ def _stateful_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     log_id = key[0]
     if state.exists:
         st = json.loads(state.get[0])
+        # state blobs written by an older schema may predate the per-fight
+        # maps; mid-fight resume then continues with empty maps
+        st.setdefault("heal_by", {})
+        st.setdefault("dd_by", {})
     else:
         st = {"in_combat": False, "player": None, "healer": None, "seq": 0,
               "start": None, "target": None, "dmg": 0, "heal": 0, "threat": 0}

@@ -155,3 +155,20 @@ def test_streaming_pulls_match_batch(spark, tmp_path):
             saw_absorb_credit = True
     # the corpus must actually exercise the absorb-credit path
     assert saw_absorb_credit
+    # per-(player, skill) damage parity vs batch damage_done_skills: the
+    # streaming dd_map must carry the same {skill: [hit, dodged, missed,
+    # total_damage]} rows (single fight player -> player key implicit)
+    bdd = {}
+    for dr in batch.damage_done_skills.collect():
+        key = (dr["log_id"], dr["fight_seq"])
+        bdd.setdefault(key, {})[dr["skill"]] = [
+            dr["hit"], dr["dodged"], dr["missed"], dr["total_damage"]]
+    saw_zero_split = False
+    for r in stream_rows:
+        got = json.loads(r["dd_map"])
+        want = bdd.get((r["log_id"], r["fight_seq"]), {})
+        assert got == want, (r["log_id"], r["fight_seq"], got, want)
+        if any(v[1] > 0 or v[2] > 0 for v in got.values()):
+            saw_zero_split = True
+    # the corpus must exercise the dodged/missed zero-amount split
+    assert saw_zero_split
