@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+import re
+
 from ..constants import (
     ABSORB,
     DAMAGE,
@@ -47,6 +49,7 @@ from ..constants import (
     PARRY,
     RESIST,
     REVIVE,
+    SHIELD,
 )
 from ..functions import grammar
 
@@ -69,6 +72,13 @@ PULL_OUT_SCHEMA = T.StructType([
     # (A2); same zero-split semantics (dodged iff the DODGE id, else
     # missed) and the same trailing-space skill keys
     T.StructField("dd_map", T.StringType()),
+    # per-(attacker, skill) damage-received as nested JSON
+    # {attacker: {skill: [hit, dodged, shielded, missed, resisted,
+    # total_damage, dmg_type]}} — the streaming mirror of batch
+    # damage_received_skills (A4) incl. mitigation precedence (miss >
+    # resist > dodge/parry/deflect; shielded only on landed hits) and
+    # first-seen dmg_type from rows with a non-zero amount
+    T.StructField("dr_map", T.StringType()),
 ])
 
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
@@ -115,7 +125,7 @@ def _fold(st: dict, r) -> dict | None:
         st.update(in_combat=True, player=r.src_raw[2:], seq=st["seq"] + 1,
                   start=f"{r.log_date} {r.time_raw[1:]}", target=None,
                   dmg=0, heal=0, threat=0, dmg_rcvd=0,
-                  heal_by={r.src_raw[2:]: 0}, dd_by={})
+                  heal_by={r.src_raw[2:]: 0}, dd_by={}, dr_by={})
         return None
     if not st["in_combat"]:
         if FORCE_ARMOR in eff and "@" in r.tgt_raw:
@@ -139,11 +149,34 @@ def _fold(st: dict, r) -> dict | None:
     if DAMAGE in eff and player in r.tgt_raw:
         # damage-received accounting + absorb-to-healer credit (the batch
         # heal_per_healer / damage_received_players semantics)
-        mitigated = (MISS in amt or RESIST in amt or DODGE in amt
-                     or PARRY in amt or DEFLECT in amt)
+        miss = MISS in amt
+        resist_raw = RESIST in amt
+        dodge_raw = DODGE in amt or PARRY in amt or DEFLECT in amt
+        mitigated = miss or resist_raw or dodge_raw
         n = _first_int_opt(amt)
         if not mitigated and n is not None:
             st["dmg_rcvd"] += n
+        # per-(attacker, skill) breakdown, batch damage_received_skills
+        # precedence: miss > resist > dodged; shielded on landed hits only
+        attacker = r.src_raw[1:].split("{", 1)[0]
+        skill = r.skill_raw[1:].split("{", 1)[0]
+        d = st["dr_by"].setdefault(attacker, {}).setdefault(
+            skill, [0, 0, 0, 0, 0, 0, None])
+        if miss:
+            d[3] += 1
+        elif resist_raw:
+            d[4] += 1
+        elif dodge_raw:
+            d[1] += 1
+        else:
+            d[0] += 1
+            if SHIELD in amt:
+                d[2] += 1
+            if n is not None:
+                d[5] += n
+        if d[6] is None and n:
+            m = re.match(r"^\(\S+\s+(\S+)", amt)
+            d[6] = m.group(1) if m else ""
         if ABSORB in amt and MISS not in amt:
             absorbed = _absorbed_opt(amt)
             if absorbed is not None and n is not None and absorbed <= n:
@@ -163,7 +196,8 @@ def _fold(st: dict, r) -> dict | None:
                    total_damage=st["dmg"], player_heal=st["heal"],
                    threat=st["threat"], dmg_rcvd=st["dmg_rcvd"],
                    heal_map=json.dumps(st["heal_by"], sort_keys=True),
-                   dd_map=json.dumps(st["dd_by"], sort_keys=True))
+                   dd_map=json.dumps(st["dd_by"], sort_keys=True),
+                   dr_map=json.dumps(st["dr_by"], sort_keys=True))
         st.update(in_combat=False, player=None, healer=None)
         exited = True
     if not exited and "<" in amt and player in r.src_raw:
@@ -181,6 +215,7 @@ def _stateful_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
         # maps; mid-fight resume then continues with empty maps
         st.setdefault("heal_by", {})
         st.setdefault("dd_by", {})
+        st.setdefault("dr_by", {})
     else:
         st = {"in_combat": False, "player": None, "healer": None, "seq": 0,
               "start": None, "target": None, "dmg": 0, "heal": 0, "threat": 0}

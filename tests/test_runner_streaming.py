@@ -172,3 +172,21 @@ def test_streaming_pulls_match_batch(spark, tmp_path):
             saw_zero_split = True
     # the corpus must exercise the dodged/missed zero-amount split
     assert saw_zero_split
+    # per-(attacker, skill) received parity vs batch damage_received_skills
+    # incl. mitigation precedence counters and first-seen dmg_type
+    bdr2 = {}
+    for dr in batch.damage_received_skills.collect():
+        key = (dr["log_id"], dr["fight_seq"])
+        bdr2.setdefault(key, {}).setdefault(dr["attacker"], {})[dr["skill"]] = [
+            dr["hit"], dr["dodged"], dr["shielded"], dr["missed"],
+            dr["resisted"], dr["total_damage"], dr["dmg_type"]]
+    saw_mitigation = False
+    for r in stream_rows:
+        got = json.loads(r["dr_map"])
+        want = bdr2.get((r["log_id"], r["fight_seq"]), {})
+        assert got == want, (r["log_id"], r["fight_seq"], got, want)
+        for skills in got.values():
+            if any(v[1] + v[2] + v[3] + v[4] > 0 for v in skills.values()):
+                saw_mitigation = True
+    # the corpus must exercise at least one mitigation counter
+    assert saw_mitigation
