@@ -40,3 +40,32 @@ def test_point_lookup_result(spark):
 def test_broadcast_enrich_is_broadcast(spark):
     plan = plan_of(relational.broadcast_enrich_revenue(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_combat_routed_shuffle_budget(spark):
+    """Pin the combat pipeline's shuffle budget (SCALE.md): the routed
+    plan must contain exactly THREE hash exchanges — (1) the bounded
+    markers shuffle feeding the fight state machine (O(#fights) rows),
+    (2) the fights dedup window (O(#fights)), (3) the ONE full-event
+    window exchange shared by healer as-of and routing — plus a
+    broadcast (not shuffled) fights join. A regression that adds a
+    fourth exchange or demotes the broadcast join changes these counts.
+    """
+    import re
+
+    from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
+    from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+    logs = dg.synth_corpus(dg.GenConfig(n_logs=2, fights_per_log=2,
+                                        rows_per_fight=40, seed=5))
+    res = run_pipeline(spark, dg.token_df(spark, logs), cache=False)
+    plan = plan_of(res.routed)
+    nodes = [re.sub(r"^\s*\(\d+\)\s*", "", ln).strip()
+             for ln in plan.splitlines() if re.match(r"^\s*\(\d+\)", ln)]
+    assert nodes.count("Exchange") == 3, nodes
+    assert nodes.count("BroadcastHashJoin") == 1, nodes
+    assert nodes.count("SortMergeJoin") == 0, nodes
+    assert nodes.count("Window") == 2, nodes
+    # the parse is map-only: Arrow UDF evals (detok) appear, but no
+    # exchange sits between a token scan and its ArrowEvalPython
+    assert nodes.count("ArrowEvalPython") == 3, nodes
