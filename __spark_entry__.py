@@ -142,6 +142,18 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
                         "d.threat", F.lit(0).cast("long"),
                         lambda a, x: a + x["threat"]), F.lit(0))
                     .alias("threat_total"))),
+            # O1/O6 + display conversion: the /results listing
+            # (main.py:333-371) — pulls sorted with duration and the
+            # pull start rendered in the report's Europe/Paris zone
+            # (fromtimestamp(..., tz=PARIS_TZ) on the naive log instant)
+            "results": lambda: res.pulls.select(
+                "log_id", "fight_seq",
+                F.date_format(
+                    F.from_utc_timestamp(
+                        F.col("pull_start").cast("timestamp"),
+                        "Europe/Paris"),
+                    "yyyy-MM-dd HH:mm:ss.SSS").alias("pull_start_paris"),
+                "target", "n_players", "total_damage", "duration_s"),
             # skew-safe two-phase aggregation (salted partial agg) over the
             # boss-skewed received-damage rows — exactness vs a plain
             # GROUP BY in the oracle
@@ -178,7 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     for name in ("pulls", "damage_done_skills", "damage_received_skills",
                  "heal", "threat", "rates", "route_counts", "enrich",
-                 "pull_json", "damage_skew"):
+                 "pull_json", "damage_skew", "results"):
         out[f"combat_{name}"] = _combat(name)
     return out
 

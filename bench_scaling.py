@@ -13,10 +13,12 @@ Measurement design (the sandbox's deliverable CPU fluctuates ~2-3x over
 minutes, so naive best-of comparisons are dominated by which level got
 the lucky window):
 
-* PAIRED ROUNDS — each round runs N then 4N back-to-back in fresh driver
-  subprocesses; the headline efficiency is the MEDIAN over per-round
-  ratios, which cancels slow host drift (both levels of a pair see
-  roughly the same host capacity).
+* PAIRED ROUNDS, ABBA-ORDERED — each round runs both levels back-to-back
+  in fresh driver subprocesses, alternating which level goes first
+  (round 0: N,4N; round 1: 4N,N; ...). A round spans several minutes and
+  the host's deliverable bandwidth drifts on that scale, so a fixed
+  order would bias every pair the same way; alternating makes linear
+  drift cancel in the median over per-round ratios.
 * CANARY NORMALIZATION — every timed run is bracketed by a 2s
   32-process busy-loop measuring instantaneous host capacity; normalized
   throughput (ev/s per host-Miters/s) is reported alongside raw.
@@ -155,9 +157,15 @@ def main() -> None:
     bw = {small_n: [], big_n: []}
     pair_eff_raw, pair_eff_norm = [], []
     lines = routed = 0
-    for _ in range(rounds):
-        rs = run_level(small_n, token_path)
-        rb = run_level(big_n, token_path)
+    for rnd in range(rounds):
+        # ABBA: alternate level order so slow host drift biases alternate
+        # rounds in opposite directions and cancels in the median
+        if rnd % 2 == 0:
+            rs = run_level(small_n, token_path)
+            rb = run_level(big_n, token_path)
+        else:
+            rb = run_level(big_n, token_path)
+            rs = run_level(small_n, token_path)
         acc[small_n].extend(rs["samples"])
         acc[big_n].extend(rb["samples"])
         # bandwidth probes run between levels, when no executor JVM is
@@ -174,7 +182,9 @@ def main() -> None:
         pair_eff_raw.append((b_eps / s_eps) / 4)
         pair_eff_norm.append((b_nrm / s_nrm) / 4)
         print(json.dumps({"round_eff_raw": round(pair_eff_raw[-1], 3),
-                          "round_eff_norm": round(pair_eff_norm[-1], 3)}),
+                          "round_eff_norm": round(pair_eff_norm[-1], 3),
+                          "order": "N,4N" if rnd % 2 == 0 else "4N,N",
+                          "small": rs["samples"], "big": rb["samples"]}),
               file=sys.stderr, flush=True)
 
     def best(n_exec):

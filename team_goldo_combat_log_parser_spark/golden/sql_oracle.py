@@ -274,6 +274,16 @@ SELECT log_id, fight_seq,
 FROM pulls ORDER BY log_id, fight_seq
 """
 
+    q["combat_results"] = base + f"""
+SELECT log_id, fight_seq,
+       strftime(timezone('Europe/Paris', timezone('UTC', pull_start_ts)),
+                '%Y-%m-%d %H:%M:%S.%g') AS pull_start_paris,
+       target, 1 AS n_players, total_damage,
+       CAST(floor(epoch(pull_stop_ts)) - floor(epoch(pull_start_ts)) AS BIGINT)
+         AS duration_s
+FROM pulls ORDER BY log_id, fight_seq
+"""
+
     q["combat_damage_done_skills"] = base + """
 SELECT log_id, fight_seq, fight_player AS player, skill,
        CAST(SUM(CASE WHEN amount <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
