@@ -86,15 +86,21 @@ def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct character n-gram shingles per doc (explode + substring)."""
+def _shingles(d: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """Character n-gram shingles per doc (explode + substring).
+
+    ``distinct=True`` gives set semantics (a full shuffle) — required by
+    Jaccard and fingerprint. Consumers whose downstream aggregate is
+    idempotent over duplicates (MinHash's per-permutation MIN) pass
+    ``distinct=False`` and skip that exchange entirely: at corpus scale
+    the dedup shuffle moves every shingle once for no semantic effect."""
     idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
-    return (
+    out = (
         d.select("doc_id", "source", F.explode(idx).alias("i"), "text")
         .select("doc_id", "source",
                 F.substring(F.col("text"), F.col("i"), n).alias("sh"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
@@ -160,9 +166,11 @@ _AB = [(((17 + 13 * i) * 2654435761) % _P or 1, ((23 + 7 * i) * 40503) % _P)
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature per doc: shingle -> xxhash64 -> k affine
-    permutations -> per-permutation min (one shuffle, k min-aggregates)."""
+    permutations -> per-permutation min (ONE shuffle, k min-aggregates —
+    MIN is idempotent over duplicate shingles, so the set-dedup shuffle
+    the Jaccard path needs is skipped here)."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    sh = _shingles(d, distinct=False)
     h = (F.xxhash64("sh").bitwiseAND(F.lit((1 << 31) - 1))).alias("h")
     base = sh.select("doc_id", h)
     mins = [
@@ -176,21 +184,21 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: equal 4-row band signature in any of 8 bands ->
     candidate pair. Returns candidates with estimated similarity (fraction
     of matching minhashes)."""
-    # cache: the signature plan (shingle explode + 32 min-aggs) feeds the 8
-    # band projections plus both sides of the estimate join — without the
-    # cache it would re-execute ten times.
+    # cache: the signature plan (shingle explode + 32 min-aggs) feeds the
+    # banding plus both sides of the estimate join — without the cache it
+    # would re-execute three times.
     sig = doc_minhash_signatures(spark, sf_dir).cache()
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    bands = []
-    for bnd in range(MINHASH_BANDS):
-        cols = [F.col(f"mh{bnd * rows_per_band + j}")
-                for j in range(rows_per_band)]
-        bands.append(sig.select(
-            "doc_id", F.lit(bnd).alias("band"),
-            F.xxhash64(*cols).alias("bsig")))
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # ONE posexplode pass emits every (band, band-signature) row — a
+    # union of per-band projections would scan the signatures 4x and
+    # quadruple the task count for identical output
+    band_sigs = [
+        F.xxhash64(*[F.col(f"mh{bnd * rows_per_band + j}")
+                     for j in range(rows_per_band)])
+        for bnd in range(MINHASH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "bsig"))
     cand = (
         banded.alias("x").join(
             banded.alias("y"),
@@ -244,15 +252,14 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str,
     4x16-bit blocking guaranteed). Callers passing max_hamming > 7 get
     approximate recall — documented, not silent."""
     sh = doc_simhash64(spark, sf_dir).cache()
-    chunks = [
-        sh.select("doc_id", "simhash", F.lit(c).alias("chunk"),
-                  F.shiftright("simhash", c * 8).bitwiseAND(F.lit(0xFF))
-                  .alias("ckey"))
-        for c in range(8)
-    ]
-    blocked = chunks[0]
-    for c in chunks[1:]:
-        blocked = blocked.unionByName(c)
+    # ONE posexplode pass emits all 8 (chunk, chunk-key) rows per doc —
+    # the previous 8-way union scanned the signatures 8x per join side
+    # (16 scans, ~600 tiny tasks at local[32]) for identical output
+    ckeys = [F.shiftright("simhash", c * 8).bitwiseAND(F.lit(0xFF))
+             for c in range(8)]
+    blocked = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*ckeys)).alias("chunk", "ckey"))
     pairs = (
         blocked.alias("x").join(
             blocked.alias("y"),
