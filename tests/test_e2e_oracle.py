@@ -132,10 +132,14 @@ def test_cache_parsed_plans_agree(spark):
     from team_goldo_combat_log_parser_spark.sources import datagen as dg
 
     tokens = dg.token_df(spark, dg.adversarial_logs())
-    a = run_pipeline(spark, tokens)
+    a = run_pipeline(spark, tokens)  # default: line-only cache
     b = run_pipeline(spark, tokens, cache_parsed=True)
-    for ta, tb in ((a.pulls, b.pulls), (a.heal, b.heal), (a.threat, b.threat)):
+    c = run_pipeline(spark, tokens, cache_lines=False)  # re-parse twice
+    for ta, tb, tc in ((a.pulls, b.pulls, c.pulls),
+                       (a.heal, b.heal, c.heal),
+                       (a.threat, b.threat, c.threat)):
         ra = sorted(map(str, ta.collect()))
         rb = sorted(map(str, tb.collect()))
-        assert ra == rb
-    a.unpersist(); b.unpersist()
+        rc = sorted(map(str, tc.collect()))
+        assert ra == rb == rc
+    a.unpersist(); b.unpersist(); c.unpersist()
