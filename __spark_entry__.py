@@ -14,12 +14,11 @@ oracle_sql()      -> DuckDB-equivalent SQL for EVERY query, including the
                      hash-sketch ops (minhash/simhash/fingerprint/lsh_ann,
                      golden/sketch_oracle.py: independent pure-Python XXH64
                      + SQL re-derivation of the banding/voting/blocking
-                     pipelines) and the media ops (sequential recomputation
-                     rendered as VALUES — a PLUMBING check: it shares the
-                     fake-decode definition with the Spark path, so it
-                     verifies the mapInPandas/Arrow distribution, not the
-                     decode math itself; the decode is determinism-tested
-                     in pytest). Exact value parity via DECIMAL arithmetic,
+                     pipelines) and the media ops (only the payload bytes
+                     tabulated as hex; decode tiling / resize index math /
+                     frame checksums re-derived in pure DuckDB SQL byte
+                     math — independent of the Spark mapInPandas code).
+                     Exact value parity via DECIMAL arithmetic,
                      string-formatted timestamps, floor-not-round doubles.
 """
 

@@ -204,44 +204,65 @@ def _synth_media_rows(n: int):
 
 
 def media_oracle_queries(n: int = N_MEDIA) -> dict[str, str]:
-    """Sequential (non-Spark) recomputation of the media queries, rendered
-    as DuckDB VALUES — verifies the distributed plumbing (mapInPandas
-    batching, Arrow binary transfer, filters) against a plain loop. The
-    fake decode is deterministic, so values are exact integers."""
-    if n < 3:
-        # kinds cycle image/audio/video by i % 3 — below 3 rows at least
-        # one VALUES list is empty and the rendered SQL would be malformed
-        raise ValueError(f"n={n} cannot populate all three media kinds; "
-                         "need n >= 3")
-    feats, resizes, frames = [], [], []
-    out_w = out_h = 16
-    for i, kind, payload, w, h, nf in _synth_media_rows(n):
-        hh = int(h) if h is not None else 16
-        ww = int(w) if w is not None else 16
-        img = _fake_decode(payload, hh, ww)
-        mean_e6 = int(np.floor(float(img.mean()) * 1e6))
-        feats.append(f"({i}, '{kind}', {len(payload)}, {mean_e6})")
-        if kind == "image":
-            yi = (np.arange(out_h) * hh // out_h)
-            xi = (np.arange(out_w) * ww // out_w)
-            resizes.append(
-                f"({i}, {out_w}, {out_h}, {int(img[np.ix_(yi, xi)].sum())})")
-        if kind == "video":
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            for f in range(0, int(nf), 8):
-                sl = arr[(f * 7) % max(len(arr) - 8, 1):][:8]
-                frames.append(f"({i}, {f}, {int(sl.sum()) + f})")
+    """TRUE second-engine derivation of the media queries: only the raw
+    payload bytes are tabulated (as hex strings); the fake-decode tiling,
+    the nearest-neighbor resize index math, and the frame-slice checksums
+    are all re-derived in pure DuckDB SQL (list lambdas over
+    generate_series + hex-digit byte extraction), sharing no code with
+    the Spark mapInPandas path — a shared algorithmic bug can no longer
+    pass as parity. Robust for any n: a kind with zero rows yields an
+    empty relation, not malformed SQL."""
+    vals = ",\n      ".join(
+        f"({i}, '{kind}', '{payload.hex()}', "
+        f"{w if w is not None else 'NULL'}, "
+        f"{h if h is not None else 'NULL'}, "
+        f"{nf if nf is not None else 'NULL'})"
+        for i, kind, payload, w, h, nf in _synth_media_rows(n))
+    base = f"""
+    WITH media(media_id, kind, hex, w, h, nf) AS (VALUES
+      {vals}
+    ), b AS (
+      SELECT media_id, kind, length(hex) // 2 AS n_bytes,
+             coalesce(w, 16) AS ww, coalesce(h, 16) AS hh, nf,
+             list_transform(generate_series(1, length(hex) // 2), j ->
+               (position(substring(hex, (j-1)*2+1, 1)
+                         IN '0123456789abcdef') - 1) * 16
+               + position(substring(hex, (j-1)*2+2, 1)
+                          IN '0123456789abcdef') - 1) AS bytes
+      FROM media
+    )
+    """
     return {
-        "media_features": (
-            "SELECT * FROM (VALUES\n    " + ",\n    ".join(feats)
-            + "\n) AS t(media_id, kind, n_bytes, mean_e6) ORDER BY media_id"),
-        "media_resize": (
-            "SELECT * FROM (VALUES\n    " + ",\n    ".join(resizes)
-            + "\n) AS t(media_id, out_w, out_h, checksum) ORDER BY media_id"),
-        "media_frames": (
-            "SELECT * FROM (VALUES\n    " + ",\n    ".join(frames)
-            + "\n) AS t(media_id, frame_idx, frame_checksum) "
-            "ORDER BY media_id, frame_idx"),
+        # decode = tile payload to h*w: byte j (0-based) = payload[j % len]
+        "media_features": base + """
+        SELECT media_id, kind, n_bytes,
+               CAST(FLOOR(CAST(list_sum(list_transform(
+                      generate_series(1, hh * ww),
+                      j -> bytes[((j-1) % n_bytes) + 1])) AS DOUBLE)
+                    / (hh * ww) * 1e6) AS BIGINT) AS mean_e6
+        FROM b ORDER BY media_id
+        """,
+        # nearest-neighbor 16x16: img[a*hh//16][x*ww//16], img[y][x] =
+        # payload[(y*ww + x) % len]
+        "media_resize": base + """
+        SELECT media_id, 16 AS out_w, 16 AS out_h,
+               CAST(list_sum(flatten(list_transform(generate_series(0, 15),
+                    a -> list_transform(generate_series(0, 15),
+                    x -> bytes[((((a*hh)//16) * ww + ((x*ww)//16))
+                               % n_bytes) + 1])))) AS BIGINT) AS checksum
+        FROM b WHERE kind = 'image' ORDER BY media_id
+        """,
+        # every-8th frame: 8-byte slice at (f*7) % max(len-8, 1), + f
+        "media_frames": base + """
+        SELECT media_id, f AS frame_idx,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                    k -> bytes[((f*7) % greatest(n_bytes - 8, 1)) + k])) + f
+                    AS BIGINT) AS frame_checksum
+        FROM (SELECT media_id, unnest(generate_series(0, nf - 1, 8)) AS f,
+                     bytes, n_bytes
+              FROM b WHERE kind = 'video')
+        ORDER BY media_id, frame_idx
+        """,
     }
 
 

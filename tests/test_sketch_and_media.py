@@ -180,11 +180,14 @@ def test_real_image_decode_roundtrip():
     assert (arr == src).all()
 
 
-def test_media_oracle_rejects_incomplete_corpus():
-    """n < 3 leaves a media kind with zero rows — the builder must fail
-    loudly instead of rendering a malformed empty VALUES clause."""
-    with pytest.raises(ValueError, match="media kinds"):
-        multimodal.media_oracle_queries(2)
-    # n == 3 is the smallest corpus with all three kinds present
-    qs = multimodal.media_oracle_queries(3)
-    assert all("VALUES" in q for q in qs.values())
+def test_media_oracle_valid_for_any_n():
+    """The SQL-derivation oracle must stay runnable even when a kind has
+    zero rows (the old VALUES renderer emitted malformed SQL below n=3):
+    n=2 has no video, so media_frames is a valid EMPTY relation."""
+    import duckdb
+
+    qs = multimodal.media_oracle_queries(2)
+    assert duckdb.sql(qs["media_frames"]).fetchall() == []
+    assert len(duckdb.sql(qs["media_features"]).fetchall()) == 2
+    qs3 = multimodal.media_oracle_queries(3)
+    assert len(duckdb.sql(qs3["media_frames"]).fetchall()) > 0
