@@ -7,20 +7,19 @@ oracle substitutes golden/xxh.py (an independent pure-Python XXH64) for
 exactly the hash step and re-derives everything else as independently as
 the op allows:
 
-* ``doc_minhash_lsh_pairs`` / ``doc_simhash_near_pairs`` — STRONG second
-  derivation: only the (value -> hash) mapping is tabulated as a VALUES
-  relation (the corpus vocabulary is small); the whole downstream
-  pipeline — shingling, affine permutations, per-permutation minima,
-  banding, bit votes, chunk blocking, pair join, Hamming filter — is
-  plain DuckDB SQL over the driver-registered ``documents`` view.
-  MinHash banding is compared on the 8-value band slice itself (tuple
-  equality) rather than Spark's 64-bit band hash — same semantics,
-  independent formulation.
-* ``doc_fingerprint`` / ``emb_lsh_ann`` — sequential recomputation
-  rendered as VALUES (the 8-gram vocabulary is too large to tabulate,
-  and the ANN ranking needs the exact left-fold double arithmetic).
-  These re-derive the pipeline logic in plain Python/numpy, like the
-  media oracles (multimodal.media_oracle_queries).
+* ``doc_minhash_lsh_pairs`` / ``doc_simhash_near_pairs`` /
+  ``doc_fingerprint`` — STRONG second derivation: only the
+  (value -> hash) mapping is tabulated as a VALUES relation; the whole
+  downstream pipeline — shingling, affine permutations, per-permutation
+  minima, banding, bit votes, chunk blocking, pair join, Hamming
+  filter, smallest-4 winnowing — is plain DuckDB SQL over the
+  driver-registered ``documents`` view. MinHash banding is compared on
+  the 8-value band slice itself (tuple equality) rather than Spark's
+  64-bit band hash — same semantics, independent formulation.
+* ``emb_lsh_ann`` — sequential recomputation rendered as VALUES: the
+  cosine re-rank needs Spark's exact left-fold double summation order,
+  which SQL SUM does not guarantee, so banding/probing/ranking are
+  re-derived in plain Python/numpy instead.
 
 The documents/embeddings inputs are read at oracle-build time from
 ``SPARK_GRAFT_ORACLE_SF_DIR`` (default /root/testdata/sf0.01 — the scale
@@ -175,17 +174,37 @@ def simhash_sql(sf_dir: str | None = None) -> str:
 # ----------------------------------------------------------- fingerprint
 
 def fingerprint_sql(sf_dir: str | None = None) -> str:
-    """Sequential re-derivation (the 8-gram vocabulary is ~10k entries —
-    too large for a readable hash VALUES table): smallest 4 shingle hashes
-    ordered by (hash, shingle), sorted ascending, joined with '|'."""
+    """Hash-table VALUES + full SQL re-derivation: 8-gram shingling,
+    smallest-4 selection ordered by (hash, shingle), ascending sort, and
+    '|' join all happen in DuckDB over the documents view; only the
+    (shingle -> xxhash64) mapping is tabulated."""
     sf_dir = _sf_dir(sf_dir)
-    rows = []
-    for doc_id, _, text in _docs(sf_dir):
-        hs = sorted((xxh64_str(sh), sh) for sh in _shingle_set(text, 8))[:4]
-        fp = "|".join(str(h) for h in sorted(h for h, _ in hs))
-        rows.append(f"({doc_id}, {_q(fp)})")
-    return ("SELECT * FROM (VALUES\n    " + ",\n    ".join(rows)
-            + "\n) AS t(doc_id, fingerprint) ORDER BY doc_id")
+    shingles = sorted({sh for _, _, text in _docs(sf_dir)
+                       for sh in _shingle_set(text, 8)})
+    sh_rows = ",\n      ".join(
+        f"({_q(sh)}, CAST({xxh64_str(sh)} AS BIGINT))" for sh in shingles)
+    return f"""
+    WITH sh_hash AS (
+      SELECT * FROM (VALUES
+      {sh_rows}
+      ) v(sh, h)
+    ), idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      FROM documents
+    ), doc_sh AS (
+      SELECT DISTINCT doc_id, substring(text, i, 8) AS s FROM idx
+    ), hs AS (
+      SELECT d.doc_id, v.h, d.s FROM doc_sh d JOIN sh_hash v ON d.s = v.sh
+    ), ranked AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h, s) AS rn
+      FROM hs
+    )
+    SELECT doc_id,
+           array_to_string(list(h ORDER BY h), '|') AS fingerprint
+    FROM ranked WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+    """
 
 
 # ------------------------------------------------------------- LSH ANN
