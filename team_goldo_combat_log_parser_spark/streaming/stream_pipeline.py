@@ -244,12 +244,25 @@ def stream_pulls(tokens_stream: DataFrame) -> DataFrame:
 
 
 def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
-                    query_name: str = "pulls_stream") -> DataFrame:
-    """Drive the stream over all currently-available input (batch-like
-    smoke path: availableNow trigger + memory sink)."""
+                    query_name: str = "pulls_stream",
+                    output_dir: str | None = None) -> DataFrame:
+    """Drive the stream over all currently-available input (availableNow
+    trigger). Default sink is memory (smoke path; NOT checkpoint-
+    recoverable). Pass ``output_dir`` for a parquet sink — the deployable
+    shape, and the one that resumes from the checkpoint: a later
+    invocation with the same checkpoint processes only new files and
+    restores the per-log parser state (tested with a mid-fight split in
+    test_streaming_state_survives_restart_mid_fight)."""
     schema = "doc_id string, tokens array<int>, n_tok int, source string"
     stream = spark.readStream.schema(schema).parquet(input_dir)
     pulls = stream_pulls(stream)
+    if output_dir is not None:
+        q = (pulls.writeStream.outputMode("append").format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(output_dir)
     q = (pulls.writeStream.outputMode("append").format("memory")
          .queryName(query_name).option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())

@@ -190,3 +190,46 @@ def test_streaming_pulls_match_batch(spark, tmp_path):
                 saw_mitigation = True
     # the corpus must exercise at least one mitigation counter
     assert saw_mitigation
+
+
+def test_streaming_state_survives_restart_mid_fight(spark, tmp_path):
+    """The per-log parser state must carry across micro-batch AND query
+    restarts: feed a log split MID-FIGHT as two parquet files processed by
+    two availableNow runs sharing one checkpoint. The second run must
+    close the open fight using state recovered from the checkpoint, and
+    the combined pulls must equal the batch pipeline on the full log."""
+    from team_goldo_combat_log_parser_spark.constants import ENTER_COMBAT
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=2,
+                                       rows_per_fight=60, seed=13))[0]
+    lines = log[1]
+    enters = [i for i, ln in enumerate(lines) if ENTER_COMBAT in ln]
+    assert len(enters) == 2
+    split = enters[1] + 5  # a few rows INTO fight 2: it is open at the cut
+    rows = corpus_rows([log])
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_part(part_rows, mode):
+        (spark.createDataFrame(part_rows, schema=TOKEN_TABLE_SCHEMA)
+         .coalesce(1).write.mode(mode).parquet(in_dir))
+
+    write_part(rows[:split], "overwrite")
+    r1 = run_stream_once(spark, in_dir, ck, output_dir=out).collect()
+    write_part(rows[split:], "append")
+    r_all = run_stream_once(spark, in_dir, ck, output_dir=out).collect()
+    seen = {(r["log_id"], r["fight_seq"]) for r in r1}
+    r2 = [r for r in r_all if (r["log_id"], r["fight_seq"]) not in seen]
+
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    want = {(r["log_id"], r["fight_seq"]): r["total_damage"]
+            for r in batch.pulls.collect()}
+    got = {(r["log_id"], r["fight_seq"]): r["total_damage"]
+           for r in r_all}
+    assert got == want, (got, want)
+    # fight 1 closed in run 1; fight 2 must close in run 2 from restored
+    # state (its enter marker was consumed by run 1)
+    assert {r["fight_seq"] for r in r1} == {1}
+    assert {r["fight_seq"] for r in r2} == {2}
