@@ -60,6 +60,18 @@ def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _values_rel(rows: list[str], cols: list[tuple[str, str]]) -> str:
+    """Render a VALUES relation, or a typed empty relation when there are
+    no rows — 'VALUES' with zero tuples is malformed SQL (the bug class
+    media_oracle_queries was hardened against; same guard here)."""
+    if rows:
+        body = ",\n      ".join(rows)
+        names = ", ".join(c for c, _ in cols)
+        return f"SELECT * FROM (VALUES\n      {body}\n      ) v({names})"
+    sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in cols)
+    return f"SELECT {sel} WHERE false"
+
+
 def _shingle_set(text: str, n: int) -> set[str]:
     """Mirror of operators.text._shingles: substring(text, i, n) for
     i in 1..greatest(len-(n-1), 1), distinct."""
@@ -73,17 +85,15 @@ def minhash_sql(sf_dir: str | None = None) -> str:
     sf_dir = _sf_dir(sf_dir)
     shingles = sorted({sh for _, _, text in _docs(sf_dir)
                        for sh in _shingle_set(text, 3)})
-    sh_rows = ",\n      ".join(
+    sh_rows = [
         f"({_q(sh)}, CAST({xxh64_str(sh) & 0x7FFFFFFF} AS BIGINT))"
-        for sh in shingles)
+        for sh in shingles]
     perm_rows = ",\n      ".join(
         f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
         for i, (a, b) in enumerate(_AB))
     return f"""
     WITH sh_hash AS (
-      SELECT * FROM (VALUES
-      {sh_rows}
-      ) v(sh, h)
+      {_values_rel(sh_rows, [("sh", "VARCHAR"), ("h", "BIGINT")])}
     ), perm AS (
       SELECT * FROM (VALUES
       {perm_rows}
@@ -96,6 +106,15 @@ def minhash_sql(sf_dir: str | None = None) -> str:
       SELECT DISTINCT doc_id, substring(text, i, 3) AS s FROM idx
     ), hs AS (
       SELECT d.doc_id, v.h FROM doc_sh d JOIN sh_hash v ON d.s = v.sh
+    ), missing AS (
+      -- fail-loud scale guard: the hash table is built from
+      -- SPARK_GRAFT_ORACLE_SF_DIR while `documents` is the harness view;
+      -- any shingle the table lacks surfaces through the UNION ALL error
+      -- branch below instead of being silently dropped by the inner join
+      -- (an inline CASE error() inside hs can be optimized away when the
+      -- final result is empty — the union branch always evaluates).
+      SELECT d.s FROM doc_sh d LEFT JOIN sh_hash v ON d.s = v.sh
+      WHERE v.h IS NULL
     ), mins AS (
       SELECT doc_id, p.pi, MIN((h * p.a + p.b) % {_P}) AS mh
       FROM hs CROSS JOIN perm p GROUP BY 1, 2
@@ -119,6 +138,11 @@ def minhash_sql(sf_dir: str | None = None) -> str:
     JOIN mins xa ON xa.doc_id = c.a
     JOIN mins xb ON xb.doc_id = c.b AND xb.pi = xa.pi
     GROUP BY c.a, c.b
+    UNION ALL
+    SELECT CAST(error('sketch oracle: shingle missing from hash table '
+                      || '(sf mismatch?): ' || s) AS INTEGER),
+           NULL, NULL
+    FROM missing
     ORDER BY a, b
     """
 
@@ -129,25 +153,36 @@ def simhash_sql(sf_dir: str | None = None) -> str:
     """Token-hash VALUES + full SQL re-derivation: bit votes, sign vector,
     8-bit chunk blocking, Hamming filter."""
     sf_dir = _sf_dir(sf_dir)
+    # ASCII whitespace class + strip(' '), NOT \s+/.strip(): Python \s and
+    # str.strip() are Unicode-aware, while both engines (Java regex, RE2)
+    # treat \s as ASCII and trim() strips spaces only — a U+00A0 in a doc
+    # must tokenize identically here and in the engines, or the join below
+    # would drop its votes.
     tokens = sorted({tok for _, _, text in _docs(sf_dir)
-                     for tok in re.split(r"\s+", text.strip())})
-    tok_rows = ",\n      ".join(
-        f"({_q(t)}, CAST({xxh64_str(t)} AS BIGINT))" for t in tokens)
+                     for tok in re.split("[ \t\n\r\f\x0b]+", text.strip(" "))})
+    tok_rows = [
+        f"({_q(t)}, CAST({xxh64_str(t)} AS BIGINT))" for t in tokens]
     return f"""
     WITH tok_hash AS (
-      SELECT * FROM (VALUES
-      {tok_rows}
-      ) v(tok, h)
+      {_values_rel(tok_rows, [("tok", "VARCHAR"), ("h", "BIGINT")])}
     ), toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents
     ), bits AS (
       SELECT unnest(generate_series(0, 62)) AS i
+    ), toks_h AS (
+      SELECT t.doc_id, v.h
+      FROM toks t JOIN tok_hash v ON t.tok = v.tok
+    ), missing AS (
+      -- fail-loud scale guard (see minhash_sql): surfaced by the UNION
+      -- ALL error branch in the final SELECT
+      SELECT t.tok FROM toks t LEFT JOIN tok_hash v ON t.tok = v.tok
+      WHERE v.h IS NULL
     ), votes AS (
       SELECT t.doc_id, b.i,
-             SUM(CASE WHEN (v.h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM toks t JOIN tok_hash v ON t.tok = v.tok CROSS JOIN bits b
+             SUM(CASE WHEN (t.h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM toks_h t CROSS JOIN bits b
       GROUP BY 1, 2
     ), sim AS (
       SELECT doc_id,
@@ -167,7 +202,13 @@ def simhash_sql(sf_dir: str | None = None) -> str:
         ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id
     )
     SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-    FROM pairs WHERE bit_count(xor(ha, hb)) <= 6 ORDER BY a, b
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
+    UNION ALL
+    SELECT CAST(error('sketch oracle: token missing from hash table '
+                      || '(sf mismatch?): ' || tok) AS INTEGER),
+           NULL, NULL
+    FROM missing
+    ORDER BY a, b
     """
 
 
@@ -181,13 +222,11 @@ def fingerprint_sql(sf_dir: str | None = None) -> str:
     sf_dir = _sf_dir(sf_dir)
     shingles = sorted({sh for _, _, text in _docs(sf_dir)
                        for sh in _shingle_set(text, 8)})
-    sh_rows = ",\n      ".join(
-        f"({_q(sh)}, CAST({xxh64_str(sh)} AS BIGINT))" for sh in shingles)
+    sh_rows = [
+        f"({_q(sh)}, CAST({xxh64_str(sh)} AS BIGINT))" for sh in shingles]
     return f"""
     WITH sh_hash AS (
-      SELECT * FROM (VALUES
-      {sh_rows}
-      ) v(sh, h)
+      {_values_rel(sh_rows, [("sh", "VARCHAR"), ("h", "BIGINT")])}
     ), idx AS (
       SELECT doc_id, text,
              unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
@@ -196,6 +235,11 @@ def fingerprint_sql(sf_dir: str | None = None) -> str:
       SELECT DISTINCT doc_id, substring(text, i, 8) AS s FROM idx
     ), hs AS (
       SELECT d.doc_id, v.h, d.s FROM doc_sh d JOIN sh_hash v ON d.s = v.sh
+    ), missing AS (
+      -- fail-loud scale guard (see minhash_sql): surfaced by the UNION
+      -- ALL error branch in the final SELECT
+      SELECT d.s FROM doc_sh d LEFT JOIN sh_hash v ON d.s = v.sh
+      WHERE v.h IS NULL
     ), ranked AS (
       SELECT doc_id, h,
              row_number() OVER (PARTITION BY doc_id ORDER BY h, s) AS rn
@@ -203,7 +247,13 @@ def fingerprint_sql(sf_dir: str | None = None) -> str:
     )
     SELECT doc_id,
            array_to_string(list(h ORDER BY h), '|') AS fingerprint
-    FROM ranked WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+    FROM ranked WHERE rn <= 4 GROUP BY doc_id
+    UNION ALL
+    SELECT CAST(error('sketch oracle: 8-gram missing from hash table '
+                      || '(sf mismatch?): ' || s) AS INTEGER),
+           NULL
+    FROM missing
+    ORDER BY doc_id
     """
 
 
@@ -221,6 +271,11 @@ def lsh_ann_sql(sf_dir: str | None = None) -> str:
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
         "ORDER BY vec_id").fetchall()
     ids = [r[0] for r in raw]
+    if not ids:
+        rel = _values_rel([], [("qid", "INTEGER"), ("rank", "INTEGER"),
+                               ("neighbor_id", "INTEGER"),
+                               ("cosine_e6", "BIGINT")])
+        return f"SELECT * FROM ({rel}) t ORDER BY qid, rank"
     emb = {r[0]: r[1] for r in raw}
     m = np.stack([np.asarray(r[1], dtype=np.float64) for r in raw])
     planes = _planes_matrix(m.shape[1])
@@ -259,9 +314,10 @@ def lsh_ann_sql(sf_dir: str | None = None) -> str:
         scored.sort(key=lambda t: (-t[1], t[0]))
         for rank, (cid, cos) in enumerate(scored[:TOP_K], 1):
             rows.append(f"({qid}, {rank}, {cid}, {math.floor(cos * 1e6)})")
-    return ("SELECT * FROM (VALUES\n    " + ",\n    ".join(rows)
-            + "\n) AS t(qid, rank, neighbor_id, cosine_e6) "
-            "ORDER BY qid, rank")
+    rel = _values_rel(rows, [("qid", "INTEGER"), ("rank", "INTEGER"),
+                             ("neighbor_id", "INTEGER"),
+                             ("cosine_e6", "BIGINT")])
+    return f"SELECT * FROM ({rel}) t ORDER BY qid, rank"
 
 
 def sketch_oracle_queries(sf_dir: str | None = None) -> dict[str, str]:

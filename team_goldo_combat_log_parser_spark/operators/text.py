@@ -122,7 +122,14 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= max_df)
             .select("source", "sh"))
-    sh = sh_all.join(keep, ["source", "sh"]).cache()
+    # localCheckpoint, not cache(): the df-capped shingle set feeds sizes +
+    # both join sides, so it must materialize once — but a cache() entry
+    # would outlive this call (CacheManager holds the plan until an explicit
+    # unpersist, leaking across repeated invocations in a long session).
+    # A local checkpoint materializes eagerly, registers nothing in the SQL
+    # cache, and its blocks are freed by the ContextCleaner as soon as the
+    # returned DataFrame is garbage-collected.
+    sh = sh_all.join(keep, ["source", "sh"]).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "source", "sh")
     b = sh.select(F.col("doc_id").alias("b"), F.col("source").alias("source_b"),
@@ -184,10 +191,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: equal 4-row band signature in any of 8 bands ->
     candidate pair. Returns candidates with estimated similarity (fraction
     of matching minhashes)."""
-    # cache: the signature plan (shingle explode + 32 min-aggs) feeds the
-    # banding plus both sides of the estimate join — without the cache it
-    # would re-execute three times.
-    sig = doc_minhash_signatures(spark, sf_dir).cache()
+    # localCheckpoint: the signature plan (shingle explode + 32 min-aggs)
+    # feeds the banding plus both sides of the estimate join — without it
+    # the plan would re-execute three times. Checkpoint instead of cache()
+    # so no CacheManager entry outlives this call (blocks are ContextCleaner-
+    # freed with the returned DataFrame; a cache() leaked across calls).
+    sig = doc_minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # ONE posexplode pass emits every (band, band-signature) row — a
     # union of per-band projections would scan the signatures 4x and
@@ -251,7 +260,9 @@ def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str,
     is COMPLETE for the default max_hamming=6 (not just d<=3 as the old
     4x16-bit blocking guaranteed). Callers passing max_hamming > 7 get
     approximate recall — documented, not silent."""
-    sh = doc_simhash64(spark, sf_dir).cache()
+    # localCheckpoint (not cache) — see doc_minhash_lsh_pairs: one eager
+    # materialization feeding both join sides, zero CacheManager residue.
+    sh = doc_simhash64(spark, sf_dir).localCheckpoint(eager=True)
     # ONE posexplode pass emits all 8 (chunk, chunk-key) rows per doc —
     # the previous 8-way union scanned the signatures 8x per join side
     # (16 scans, ~600 tiny tasks at local[32]) for identical output

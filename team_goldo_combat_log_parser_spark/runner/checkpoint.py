@@ -51,7 +51,13 @@ class Manifest:
         directory, and because the replay processes the same still-
         uncommitted sources it computes the SAME id and overwrites the
         orphan in place — a random id would write a second directory and
-        partition-discovery readers would see both (duplicate rows)."""
+        partition-discovery readers would see both (duplicate rows).
+
+        The overwrite-in-place guarantee requires the replayed source set
+        to be identical; if new sources arrive before the replay, the id
+        differs and the orphan survives this mechanism. That case is
+        closed by cli.gc_orphan_commits, which removes any commit=* dir
+        the manifest does not reference before the run writes."""
         digest = hashlib.sha256(
             "\n".join(sorted(sources)).encode("utf-8")).hexdigest()[:16]
         return f"c{digest}"

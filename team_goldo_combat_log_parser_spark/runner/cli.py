@@ -29,6 +29,42 @@ from ..plans.pipeline import run_pipeline
 from .checkpoint import Manifest, filter_unprocessed
 
 
+def gc_orphan_commits(spark: SparkSession, output: str,
+                      manifest: Manifest) -> list[str]:
+    """Delete commit=* directories not referenced by any manifest record.
+
+    The deterministic commit id makes a same-source-set replay overwrite
+    its own orphan, but if NEW source files arrive between a crash and the
+    replay, the replay's source set (and so its commit id) differs and the
+    crashed run's directory would stay visible to partition-discovery
+    readers alongside the new commit — duplicate rows for the shared
+    sources. The manifest is the source of truth: anything it does not
+    reference is an orphan, removed here before any write. Runs through
+    the Hadoop FileSystem API so the same code handles s3a/hdfs/file
+    outputs on a real cluster. Iceberg outputs need no GC — the catalog
+    only exposes committed snapshots, and the replay's per-commit
+    overwrite replaces any earlier rows of the same commit atomically."""
+    if output.startswith("iceberg:"):
+        return []
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(output)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    valid = {rec["commit_id"] for rec in manifest.records()}
+    removed: list[str] = []
+    for tbl in fs.listStatus(root):
+        if not tbl.isDirectory():
+            continue
+        for sub in fs.listStatus(tbl.getPath()):
+            name = sub.getPath().getName()
+            if name.startswith("commit=") \
+                    and name[len("commit="):] not in valid:
+                fs.delete(sub.getPath(), True)
+                removed.append(f"{tbl.getPath().getName()}/{name}")
+    return sorted(removed)
+
+
 def read_tokens(spark: SparkSession, path: str):
     if path.startswith("iceberg:"):
         return spark.read.format("iceberg").load(path[len("iceberg:"):])
@@ -79,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("goldo-pipeline").getOrCreate()
     manifest = Manifest(args.checkpoint)
+    gc_removed = gc_orphan_commits(spark, args.output, manifest)
 
     tokens = read_tokens(spark, args.input)
     todo = filter_unprocessed(tokens, manifest)
@@ -118,7 +155,8 @@ def main(argv: list[str] | None = None) -> int:
     commit = manifest.commit(sources, counts, metrics={"routed": routed},
                              commit_id=commit_id)
     print(json.dumps({"status": "committed", "commit_id": commit,
-                      "new_sources": len(sources), "counts": counts}))
+                      "new_sources": len(sources), "counts": counts,
+                      "gc_orphans": gc_removed}))
     return 0
 
 

@@ -201,8 +201,15 @@ def _fold(st: dict, r) -> dict | None:
         st.update(in_combat=False, player=None, healer=None)
         exited = True
     if not exited and "<" in amt and player in r.src_raw:
-        t = amt[amt.index("<") + 1:amt.index(">")]
-        st["threat"] += int(t)
+        # Mirror the batch path's null tolerance (grammar.py:
+        # regexp_extract('<([^>]*)>') + try_cast): a truncated '<...'
+        # without '>' or a non-numeric threat contributes nothing
+        # instead of crashing the stream on one malformed line.
+        m = re.search(r"<([^>]*)>", amt)
+        # fullmatch (not bare int()): Python int accepts '4_5' underscores
+        # that a Spark cast rejects — keep the two paths' domains identical
+        if m and re.fullmatch(r"\s*[+-]?\d+\s*", m.group(1)):
+            st["threat"] += int(m.group(1))
     return out
 
 

@@ -233,3 +233,67 @@ def test_streaming_state_survives_restart_mid_fight(spark, tmp_path):
     # state (its enter marker was consumed by run 1)
     assert {r["fight_seq"] for r in r1} == {1}
     assert {r["fight_seq"] for r in r2} == {2}
+
+
+def test_streaming_tolerates_malformed_threat(spark, tmp_path):
+    """VERDICT r3 wrong #4: a truncated '<...' without '>' or a
+    non-numeric threat must not crash the stream; parity with the batch
+    path's regexp_extract + try_cast null tolerance."""
+    p = "Mal'formed"
+    pa = dg.actor_player(p)
+    boss = dg.actor_npc("Training Dummy", 999000111, 1)
+    lines = [
+        dg.enter_combat_line("10:00:00.000", p),
+        dg.mk_line("10:00:01.000", pa, boss, dg.STORM, dg.APPLY_DAMAGE,
+                   dg.amt_hit(100, "kinetic", threat=100)),
+        # truncated: '<' with no closing '>'
+        dg.mk_line("10:00:02.000", pa, boss, dg.STORM, dg.APPLY_DAMAGE,
+                   "(50) <45"),
+        # non-numeric threat body
+        dg.mk_line("10:00:03.000", pa, boss, dg.STORM, dg.APPLY_DAMAGE,
+                   "(60) <abc>"),
+        # underscore int literal: Python int() would accept, casts must not
+        dg.mk_line("10:00:04.000", pa, boss, dg.STORM, dg.APPLY_DAMAGE,
+                   "(70) <4_5>"),
+        dg.exit_combat_line("10:00:10.000", p),
+    ]
+    log = ("combat_2012-09-01_10_00_00_malformed.txt", lines)
+    dg.write_token_table(spark, [log], str(tmp_path / "tokens"), 1)
+
+    stream_rows = run_stream_once(spark, str(tmp_path / "tokens"),
+                                  str(tmp_path / "ckpt"),
+                                  query_name="malformed_stream").collect()
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    bt = {(r["log_id"], r["fight_seq"]): r["threat"]
+          for r in batch.threat.collect()}
+    assert len(stream_rows) == 1
+    r = stream_rows[0]
+    assert r["total_damage"] == 100 + 50 + 60 + 70
+    assert r["threat"] == 100  # only the well-formed threat counts
+    assert r["threat"] == bt[(r["log_id"], r["fight_seq"])]
+
+
+def test_gc_orphan_commits(spark, tmp_path):
+    """A crashed run's commit dir whose source set (and so commit id)
+    differs from the replay's must be GC'd at startup — the manifest is
+    the source of truth (ADVICE r3)."""
+    from team_goldo_combat_log_parser_spark.runner.cli import (
+        gc_orphan_commits)
+
+    m = Manifest(str(tmp_path / "ckpt"))
+    m.commit(["srcA"], {"pulls": 1})
+    valid_id = m.new_commit_id(["srcA"])
+    out = tmp_path / "out"
+    for table in ("pulls", "sink_damage"):
+        for cid in (valid_id, "cdeadbeef0rphan1"):
+            d = out / table / f"commit={cid}" / "log_date=2012-08-01"
+            d.mkdir(parents=True)
+            (d / "part-0.parquet").write_bytes(b"x")
+    removed = gc_orphan_commits(spark, str(out), m)
+    assert removed == ["pulls/commit=cdeadbeef0rphan1",
+                       "sink_damage/commit=cdeadbeef0rphan1"]
+    for table in ("pulls", "sink_damage"):
+        assert (out / table / f"commit={valid_id}").exists()
+        assert not (out / table / "commit=cdeadbeef0rphan1").exists()
+    # idempotent on a clean tree
+    assert gc_orphan_commits(spark, str(out), m) == []

@@ -191,3 +191,19 @@ def test_media_oracle_valid_for_any_n():
     assert len(duckdb.sql(qs["media_features"]).fetchall()) == 2
     qs3 = multimodal.media_oracle_queries(3)
     assert len(duckdb.sql(qs3["media_frames"]).fetchall()) > 0
+
+
+def test_sketch_queries_leave_no_sql_cache(spark, sf001):
+    """VERDICT r3 wrong #3: the sketch queries' intermediate
+    materializations must not leave CacheManager entries behind (a cache()
+    there leaked plans across invocations in a long-lived session and
+    triggered 'already cached' double-persist warnings in the bench).
+    localCheckpoint blocks are ContextCleaner-scoped instead."""
+    from team_goldo_combat_log_parser_spark.operators import text as t
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for fn in (t.doc_ngram_jaccard_pairs, t.doc_minhash_lsh_pairs,
+               t.doc_simhash_near_pairs):
+        fn(spark, sf001).collect()
+        assert cm.isEmpty(), f"{fn.__name__} left a CacheManager entry"

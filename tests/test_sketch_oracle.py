@@ -72,3 +72,78 @@ def test_sketch_oracle_sf_generic(spark, sf001, ddb001, name):
         f"{name}: spark={len(s_rows)} duckdb={len(d_rows)}"
     assert s_rows == d_rows, \
         f"{name}: first diff {next((a, b) for a, b in zip(s_rows, d_rows) if a != b)}"
+
+
+def _write_docs(spark, path: str, rows: list[tuple[int, str, str, str]]):
+    """documents-shaped SINGLE-FILE parquet (the testdata layout — both
+    the oracle builder and DuckDB read it as one file, not a Spark dir)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("doc_id", pa.int32()), ("source", pa.string()),
+                        ("lang", pa.string()), ("text", pa.string())])
+    cols = list(zip(*rows)) if rows else [[], [], [], []]
+    pq.write_table(pa.table(dict(zip(schema.names, cols)), schema=schema),
+                   f"{path}/documents.parquet")
+
+
+def _write_embs(spark, path: str, rows: list[tuple[int, str, list[float]]]):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("vec_id", pa.int32()), ("label", pa.string()),
+                        ("embedding", pa.list_(pa.float32()))])
+    cols = list(zip(*rows)) if rows else [[], [], []]
+    pq.write_table(pa.table(dict(zip(schema.names, cols)), schema=schema),
+                   f"{path}/embeddings.parquet")
+
+
+def test_sketch_oracle_valid_for_empty_input(spark, tmp_path):
+    """ADVICE gate: zero-row inputs must yield well-formed SQL (typed empty
+    relation), not a malformed zero-tuple VALUES — mirroring the media
+    oracle's any-n hardening."""
+    d = str(tmp_path)
+    _write_docs(spark, d, [])
+    _write_embs(spark, d, [])
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    for name, sql in sketch_oracle.sketch_oracle_queries(d).items():
+        rel = con.sql(sql)  # must parse and run
+        assert rel.fetchall() == [], name
+
+
+def test_sketch_oracle_fails_loud_on_scale_mismatch(spark, sf001, tmp_path):
+    """If the hash tables (built from the oracle sf dir) and the registered
+    documents view diverge, the LEFT-join error() guard must raise instead
+    of silently dropping unmatched shingles/tokens."""
+    sqls = sketch_oracle.sketch_oracle_queries(sf001)
+    d = str(tmp_path)
+    _write_docs(spark, d, [(1, "s1", "en",
+                            "\u00d8\u03a9\u00a4" * 5)])  # 3/8-grams + token absent from sf0.001
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    for name in ("doc_minhash_lsh_pairs", "doc_simhash_near_pairs",
+                 "doc_fingerprint"):
+        with pytest.raises(duckdb.Error, match="missing from hash table"):
+            con.sql(sqls[name]).fetchall()
+
+
+def test_simhash_oracle_ascii_whitespace_parity(spark, tmp_path):
+    """A U+00A0 (Unicode space, NOT ASCII \\s) inside a document must
+    tokenize identically in the Python hash-table builder and in both
+    engines — two identical such docs must surface as a hamming-0 pair."""
+    d = str(tmp_path)
+    txt = "alpha\u00a0beta gamma delta epsilon zeta"
+    _write_docs(spark, d, [(1, "s1", "en", txt), (2, "s1", "en", txt)])
+    sql = sketch_oracle.simhash_sql(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    d_rows = con.sql(sql).fetchall()
+    s_rows = [tuple(r) for r in text.doc_simhash_near_pairs(
+        spark, d).collect()]
+    assert s_rows == [(1, 2, 0)]
+    assert sorted(d_rows) == sorted(s_rows)
