@@ -38,7 +38,13 @@ from team_goldo_combat_log_parser_spark.operators import (
 from team_goldo_combat_log_parser_spark.plans import aggregate as agg
 from team_goldo_combat_log_parser_spark.plans.aggregate import _live
 from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
+from team_goldo_combat_log_parser_spark.report import chart
 from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+# the /chart/<id> drill-down target: the fixture log's first fight (the
+# richest pull — every grammar variant appears in it)
+CHART_LOG = "combat_2012-06-06_20_33_20_fixture"
+CHART_SEQ = 1
 
 # from_json schema for the pull `data` blob round-trip (combat_pull_json)
 _PULL_JSON_SCHEMA = (
@@ -153,6 +159,15 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
                         "Europe/Paris"),
                     "yyyy-MM-dd HH:mm:ss.SSS").alias("pull_start_paris"),
                 "target", "n_players", "total_damage", "duration_s"),
+            # E3 composite: the /chart/<id> page (main.py:375-557) — point
+            # lookup of ONE pull, from_json decode of its data blob, all
+            # nine gviz tables assembled from the DECODED struct (the read
+            # path a report user actually hits)
+            "chart": lambda: chart.chart_frame(
+                agg.pull_json(res.pulls, res.damage_done_skills,
+                              res.damage_received_skills, res.heal,
+                              res.threat),
+                CHART_LOG, CHART_SEQ),
             # skew-safe two-phase aggregation (salted partial agg) over the
             # boss-skewed received-damage rows — exactness vs a plain
             # GROUP BY in the oracle
@@ -166,6 +181,8 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
                 ["log_id", "fight_seq", "attacker"], "dmg", "total_damage"),
         }
         out = frames[which]()
+        if "section" in out.columns:
+            return out  # chart frame carries its own total order
         order = [c for c in ("log_id", "fight_seq", "player", "skill",
                              "attacker", "healer", "school") if c in out.columns]
         return out.orderBy(*order) if order else out
@@ -189,7 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     for name in ("pulls", "damage_done_skills", "damage_received_skills",
                  "heal", "threat", "rates", "route_counts", "enrich",
-                 "pull_json", "damage_skew", "results"):
+                 "pull_json", "damage_skew", "results", "chart"):
         out[f"combat_{name}"] = _combat(name)
     return out
 

@@ -413,6 +413,105 @@ FROM live WHERE r_damage_received
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
+    # E3 /chart/<id> composite: point lookup of one pull, all nine gviz
+    # tables re-derived (skills per O2, received per O3, pie/bar per-player
+    # damage/heal/received/threat with floor(rate*1e6) DPS/HPS/DTPS), as
+    # one long-format union keyed by `section`. Mirrors report/chart.py's
+    # decode path but derives everything from the oracle's own live/heal/
+    # threat CTEs — an independent second derivation of the same page.
+    q["combat_chart"] = base + """
+, selkey AS (
+  SELECT log_id, fight_seq FROM pulls
+  WHERE log_id = 'combat_2012-06-06_20_33_20_fixture' AND fight_seq = 1
+), dur AS (
+  SELECT p.target,
+         strftime(p.pull_start_ts, '%Y-%m-%d %H:%M:%S.%g') AS pull_start,
+         CAST(epoch_ms(p.pull_stop_ts) - epoch_ms(p.pull_start_ts)
+              AS BIGINT) AS duration_ms,
+         NULLIF(epoch(p.pull_stop_ts) - epoch(p.pull_start_ts), 0) AS secs
+  FROM pulls p JOIN selkey k
+    ON p.log_id = k.log_id AND p.fight_seq = k.fight_seq
+), dd_s AS (
+  SELECT l.fight_player AS player, l.skill,
+         CAST(SUM(CASE WHEN amount <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+         CAST(SUM(CASE WHEN amount = 0 AND m_dodge_only THEN 1 ELSE 0 END)
+              AS BIGINT) AS dodged,
+         CAST(SUM(CASE WHEN amount = 0 AND NOT m_dodge_only THEN 1 ELSE 0 END)
+              AS BIGINT) AS missed,
+         CAST(coalesce(SUM(CASE WHEN amount <> 0 THEN amount END), 0)
+              AS BIGINT) AS total_damage
+  FROM live l JOIN selkey k
+    ON l.log_id = k.log_id AND l.fight_seq = k.fight_seq
+  WHERE r_damage_done AND NOT m_immune
+  GROUP BY 1, 2
+), dr_s AS (
+  SELECT l.fight_player AS player, l.src_name AS attacker, l.skill,
+         CAST(SUM(CASE WHEN NOT (m_miss OR m_resist OR m_dodge)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+         CAST(SUM(CASE WHEN m_dodge AND NOT m_miss AND NOT m_resist
+                       THEN 1 ELSE 0 END) AS BIGINT) AS dodged,
+         CAST(SUM(CASE WHEN m_shield AND NOT (m_miss OR m_resist OR m_dodge)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS shielded,
+         CAST(SUM(CASE WHEN m_miss THEN 1 ELSE 0 END) AS BIGINT) AS missed,
+         CAST(SUM(CASE WHEN m_resist AND NOT m_miss THEN 1 ELSE 0 END)
+              AS BIGINT) AS resisted,
+         CAST(coalesce(SUM(CASE WHEN NOT (m_miss OR m_resist OR m_dodge)
+                                THEN amount END), 0) AS BIGINT)
+           AS total_damage,
+         arg_min(dmg_type, line_no) FILTER (WHERE amount <> 0) AS dmg_type
+  FROM live l JOIN selkey k
+    ON l.log_id = k.log_id AND l.fight_seq = k.fight_seq
+  WHERE r_damage_received
+  GROUP BY 1, 2, 3
+), heal_t AS (
+  SELECT h.healer, h.heal FROM heal h JOIN selkey k
+    ON h.log_id = k.log_id AND h.fight_seq = k.fight_seq
+), threat_t AS (
+  SELECT t.player, t.threat FROM threat t JOIN selkey k
+    ON t.log_id = k.log_id AND t.fight_seq = k.fight_seq
+)
+SELECT '0_header' AS section, NULL AS player, NULL AS attacker,
+       NULL AS skill, CAST(NULL AS BIGINT) AS hit,
+       CAST(NULL AS BIGINT) AS dodged, CAST(NULL AS BIGINT) AS missed,
+       CAST(NULL AS BIGINT) AS shielded, CAST(NULL AS BIGINT) AS resisted,
+       CAST(NULL AS BIGINT) AS total_damage, NULL AS dmg_type,
+       CAST(NULL AS BIGINT) AS amount, CAST(NULL AS BIGINT) AS rate_e6,
+       target, pull_start, duration_ms
+FROM dur
+UNION ALL
+SELECT '1_skills', player, NULL, skill, hit, dodged, missed, NULL, NULL,
+       total_damage, NULL, NULL, NULL, NULL, NULL, NULL
+FROM dd_s
+UNION ALL
+SELECT '2_received', player, attacker, skill, hit, dodged, missed,
+       shielded, resisted, total_damage, dmg_type, NULL, NULL, NULL,
+       NULL, NULL
+FROM dr_s
+UNION ALL
+SELECT '3_damage_players', g.player, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, g.amount,
+       CAST(floor(g.amount / d.secs * 1e6) AS BIGINT), NULL, NULL, NULL
+FROM (SELECT player, CAST(SUM(total_damage) AS BIGINT) AS amount
+      FROM dd_s GROUP BY 1) g CROSS JOIN dur d
+UNION ALL
+SELECT '4_heal_players', h.healer, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, h.heal,
+       CAST(floor(h.heal / d.secs * 1e6) AS BIGINT), NULL, NULL, NULL
+FROM heal_t h CROSS JOIN dur d
+UNION ALL
+SELECT '5_received_players', g.player, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, g.amount,
+       CAST(floor(g.amount / d.secs * 1e6) AS BIGINT), NULL, NULL, NULL
+FROM (SELECT player, CAST(SUM(total_damage) AS BIGINT) AS amount
+      FROM dr_s GROUP BY 1) g CROSS JOIN dur d
+UNION ALL
+SELECT '6_threat_players', t.player, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, t.threat, NULL, NULL, NULL, NULL
+FROM threat_t t
+ORDER BY section, player NULLS FIRST, attacker NULLS FIRST,
+         skill NULLS FIRST
+"""
+
     q["combat_route_counts"] = base + """
 SELECT CAST(SUM(CASE WHEN r_enter THEN 1 ELSE 0 END) AS BIGINT) AS r_enter,
        CAST(SUM(CASE WHEN r_damage_done THEN 1 ELSE 0 END) AS BIGINT)

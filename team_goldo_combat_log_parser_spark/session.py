@@ -12,6 +12,34 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Pinned Iceberg runtime for the `iceberg:` read/write branches
+# (runner/cli.py). Not bundled in this container; enable with ONE line on
+# any networked machine:
+#   spark-submit --packages $(python -c "from team_goldo_combat_log_parser_spark.session import ICEBERG_PACKAGE; print(ICEBERG_PACKAGE)") ...
+# or get_spark(extra_conf=iceberg_conf("/path/to/warehouse")). Bump the
+# runtime suffix in lockstep with the Spark minor in use.
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
+
+def iceberg_conf(warehouse: str, catalog: str = "local",
+                 with_packages: bool = False) -> dict[str, str]:
+    """SparkSession conf for a Hadoop-catalog Iceberg warehouse. Pass
+    with_packages=True to also pull the pinned runtime via Ivy (needs
+    network; on an offline box install the jar into $SPARK_HOME/jars)."""
+    conf = {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}":
+            "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+    if with_packages:
+        conf["spark.jars.packages"] = ICEBERG_PACKAGE
+    return conf
+
+
 def get_spark(
     app_name: str = "team_goldo_spark",
     cores: int | None = None,

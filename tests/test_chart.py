@@ -1,0 +1,62 @@
+"""E3 chart composite + gviz renderer tests (reference main.py:375-557)."""
+
+import json
+
+import __spark_entry__ as entry_mod
+from team_goldo_combat_log_parser_spark.report import gviz
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _chart_df(spark):
+    return entry_mod.queries()["combat_chart"](spark, SF_DIR)
+
+
+def test_chart_sections_complete(spark):
+    """The fixture pull must populate every gviz table the reference's
+    chart page renders — header, both big tables, and the four per-player
+    chart row sets."""
+    rows = _chart_df(spark).collect()
+    sections = {r["section"] for r in rows}
+    assert sections == {"0_header", "1_skills", "2_received",
+                        "3_damage_players", "4_heal_players",
+                        "5_received_players", "6_threat_players"}
+    hdr = [r for r in rows if r["section"] == "0_header"]
+    assert len(hdr) == 1 and hdr[0]["target"] and hdr[0]["duration_ms"] > 0
+    # per-player damage == sum of that player's skill rows (the reference
+    # accumulates 'amount' and the per-skill totals from the same rows)
+    per_skill = sum(r["total_damage"] for r in rows
+                    if r["section"] == "1_skills")
+    per_player = sum(r["amount"] for r in rows
+                     if r["section"] == "3_damage_players")
+    assert per_skill == per_player > 0
+
+
+def test_gviz_render_shape(spark):
+    """pull_chart_tables emits the gviz DataTable JSON shape ({cols with
+    id/label/type, rows of {c:[{v:..}]}}) with the reference's column
+    labels and the bar charts' rate = amount / duration."""
+    df = _chart_df(spark)
+    out = gviz.pull_chart_tables(df)
+    assert out["pull_target"]
+    assert out["pull_duration_ms"] > 0
+    skills = out["skills"]
+    assert [c["label"] for c in skills["cols"]] == [
+        "Player", "Skill", "Hits", "Dodged", "Missed", "Total Damage"]
+    assert all(len(r["c"]) == len(skills["cols"]) for r in skills["rows"])
+    received = out["received"]
+    assert [c["id"] for c in received["cols"]] == [
+        "player", "attacker", "skill", "hit", "missed", "dodged",
+        "shielded", "resisted", "total_damage", "dmg_type"]
+    # bar DPS rows mirror the damage pie rows, divided by the duration
+    pie = out["damage_players"]["rows"]
+    bar = out["dps"]["rows"]
+    assert len(pie) == len(bar) >= 1
+    secs = out["pull_duration_ms"] / 1000.0
+    for p, b in zip(pie, bar):
+        assert p["c"][0]["v"] == b["c"][0]["v"]  # same player order
+        want = p["c"][1]["v"] / secs
+        assert abs(b["c"][1]["v"] - want) < 1e-5 * max(1.0, want)
+    # full JSON string is valid and deterministic
+    j1 = gviz.pull_chart_json(df)
+    assert json.loads(j1)["pull_target"] == out["pull_target"]
