@@ -37,6 +37,14 @@ from team_goldo_combat_log_parser_spark.sources.token_io import (  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 CORPUS_CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/goldo_bench")
+# A/B knob for the pipeline's line-cache strategy (bench_ab_cache.py runs
+# this harness unchanged with the knob flipped; bench semantics identical)
+CACHE_LINES = os.environ.get("SPARK_GRAFT_CACHE_LINES", "1").lower() \
+    not in ("0", "false")
+# optional subset, e.g. "combat_e2e" for the A/B (combat_e2e runs first
+# either way, so restricting the tail does not change its conditions)
+QUERY_SUBSET = {q for q in os.environ.get(
+    "SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q}
 
 
 def sf_of(path: str) -> float:
@@ -66,7 +74,7 @@ def run_combat_e2e(spark, token_path: str) -> tuple[float, int]:
     """
     tokens = spark.read.parquet(token_path)
     t0 = time.perf_counter()
-    res = run_pipeline(spark, tokens)
+    res = run_pipeline(spark, tokens, cache_lines=CACHE_LINES)
     routed = res.routed.select(
         F.sum(F.col("r_damage_done").cast("long")
               + F.col("r_damage_received").cast("long")
@@ -125,6 +133,8 @@ def main() -> None:
     queries["combat_e2e"] = round(e2e_s, 3)
 
     for name, fn in QUERY_BENCHES.items():
+        if QUERY_SUBSET and name not in QUERY_SUBSET:
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

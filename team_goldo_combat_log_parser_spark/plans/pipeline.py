@@ -61,10 +61,13 @@ def run_pipeline(
     detokenized line (one narrow string column, ~10x smaller than the
     parsed cache), so the Arrow detok UDF runs once and both the markers
     pass and the routed pass re-derive the typed columns from the cache
-    with pure JVM codegen (the cheap half of the parse). Measured: -20%
-    end-to-end at local[32] (the Arrow hop is the single-JVM bottleneck),
-    neutral at 4x1-core executors (38.4s both variants) where Python
-    workers are fewer and cache writes contend instead."""
+    with pure JVM codegen (the cheap half of the parse). Default settled
+    by a 6-pair ABBA A/B under the official bench harness in quiet-gated
+    host windows (bench_ab_cache.py -> BENCH/CACHE_AB.md): median
+    on/off time ratio 0.79 at local[32] (on faster in 5/6 rounds, both
+    orders; ~76k vs ~60k routed ev/s), neutral at 4x1-core executors
+    (38.4s both variants) where Python workers are fewer and cache
+    writes contend instead."""
     src = token_df
     lines_cached = None
     if cache and cache_lines:
