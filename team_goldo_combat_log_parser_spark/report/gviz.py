@@ -87,3 +87,37 @@ def pull_chart_tables(chart_df: DataFrame) -> dict[str, Any]:
 
 def pull_chart_json(chart_df: DataFrame) -> str:
     return json.dumps(pull_chart_tables(chart_df), sort_keys=True)
+
+
+# ------------------------------------------------------- /results listing
+
+_RESULTS_COLS = [
+    ("pull_start_time", "Pull start time", "string"),
+    ("pull_target", "Pull target", "string"),
+    ("pull_duration", "Pull duration (s)", "number"),
+    ("total_damage", "Total damage", "number"),
+    ("players_number", "Players", "number"),
+    ("pull_id", "Pull id", "string"),
+]
+
+
+def results_table(results_df: DataFrame) -> dict:
+    """The /results listing (main.py:333-371) as a gviz DataTable dict:
+    one row per pull, ordered pull_start_time DESC (the reference's
+    order_by), pull_id = '<log_id>#<fight_seq>' standing in for the
+    Datastore entity id."""
+    rows = [r.asDict() for r in results_df.collect()]
+    rows.sort(key=lambda r: r["pull_start_paris"], reverse=True)
+    mapped = [
+        {"pull_start_time": r["pull_start_paris"],
+         "pull_target": r["target"],
+         "pull_duration": r["duration_s"],
+         "total_damage": r["total_damage"],
+         "players_number": r["n_players"],
+         "pull_id": f"{r['log_id']}#{r['fight_seq']}"}
+        for r in rows]
+    return _table(mapped, _RESULTS_COLS)
+
+
+def results_table_json(results_df: DataFrame) -> str:
+    return json.dumps(results_table(results_df), sort_keys=True)

@@ -9,10 +9,17 @@ exit marker is processed.
 
 Scope notes (extension surface, not reference parity — the reference is
 batch-only):
- * rows are processed in line_no order within each batch; cross-batch
-   order relies on an ordered source (file source reads files in order).
-   Late/reordered lines would need an event-time watermark + reorder
-   buffer, which the reference has no semantics for.
+ * default mode: rows are processed in line_no order within each batch;
+   cross-batch order relies on an ordered source (file source reads
+   files in order). ``stream_pulls(..., reorder=True)`` lifts that
+   assumption: a per-log REORDER BUFFER in the state delivers rows to
+   the parser strictly by line_no no matter how batches interleave —
+   exact (sequence-based, not time-watermark-based: line_no is
+   contiguous per log, so "can I advance?" is decidable without a
+   lateness heuristic), at the cost of buffering rows that arrive ahead
+   of a gap. A line that never arrives stalls that log's emission;
+   ``reorder_max_buffer`` bounds the buffer so a lost line surfaces as
+   a loud error, not an executor OOM.
  * cross-log duplicate-pull suppression (Datastore probe) is a global
    lookup, out of scope for per-log state; run the batch dedup downstream.
 
@@ -24,6 +31,7 @@ on a streaming DataFrame).
 from __future__ import annotations
 
 import json
+from collections import namedtuple
 from collections.abc import Iterator
 
 import pandas as pd
@@ -238,21 +246,75 @@ def _stateful_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
         yield pd.DataFrame(done)[[f.name for f in PULL_OUT_SCHEMA.fields]]
 
 
-def stream_pulls(tokens_stream: DataFrame) -> DataFrame:
-    """Streaming token table -> stream of finished pulls."""
+# row layout inside the reorder buffer (json-serialized into the state)
+_ROW_FIELDS = ["line_no", "log_date", "time_raw", "src_raw", "tgt_raw",
+               "skill_raw", "effect_raw", "amount_raw"]
+_BufRow = namedtuple("_BufRow", _ROW_FIELDS)
+
+REORDER_MAX_BUFFER = 100_000
+
+
+def _stateful_fn_reorder(key: tuple, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """Order-tolerant variant of _stateful_fn: rows enter a per-log buffer
+    keyed by line_no and are fed to the parser strictly in sequence
+    (line_no is contiguous from 0 per log), so arbitrary cross-batch
+    reordering — a late marker, a shuffled replay — produces EXACTLY the
+    ordered result. Rows ahead of a gap wait in the state; the parser
+    state machine itself is unchanged (_fold)."""
+    log_id = key[0]
+    if state.exists:
+        st = json.loads(state.get[0])
+        st.setdefault("heal_by", {})
+        st.setdefault("dd_by", {})
+        st.setdefault("dr_by", {})
+    else:
+        st = {"in_combat": False, "player": None, "healer": None, "seq": 0,
+              "start": None, "target": None, "dmg": 0, "heal": 0,
+              "threat": 0}
+    buf = {int(k): v for k, v in st.pop("_buf", {}).items()}
+    next_line = st.pop("_next", 0)
+    done: list[dict] = []
+    for pdf in pdfs:
+        for r in pdf[_ROW_FIELDS].itertuples(index=False):
+            buf[int(r.line_no)] = [int(r.line_no), *r[1:]]
+    if len(buf) > REORDER_MAX_BUFFER:
+        raise RuntimeError(
+            f"reorder buffer for {log_id} exceeds {REORDER_MAX_BUFFER} "
+            f"rows waiting on line {next_line} — line lost upstream?")
+    while next_line in buf:
+        r = _BufRow(*buf.pop(next_line))
+        pull = _fold(st, r)
+        if pull:
+            pull["log_id"] = log_id
+            done.append(pull)
+        next_line += 1
+    st["_buf"] = {str(k): v for k, v in buf.items()}
+    st["_next"] = next_line
+    state.update((json.dumps(st),))
+    if done:
+        yield pd.DataFrame(done)[[f.name for f in PULL_OUT_SCHEMA.fields]]
+
+
+def stream_pulls(tokens_stream: DataFrame, reorder: bool = False) -> DataFrame:
+    """Streaming token table -> stream of finished pulls. reorder=True
+    tolerates out-of-order arrival across micro-batches (see module
+    docstring) at the cost of a per-log line buffer in the state."""
     parsed = grammar.split_fields(grammar.detokenize_lines(tokens_stream))
     parsed = grammar.with_identity_columns(parsed)
     slim = parsed.select("log_id", "line_no", "log_date", "time_raw",
                          "src_raw", "tgt_raw", "skill_raw", "effect_raw",
                          "amount_raw")
+    fn = _stateful_fn_reorder if reorder else _stateful_fn
     return slim.groupBy("log_id").applyInPandasWithState(
-        _stateful_fn, PULL_OUT_SCHEMA, STATE_SCHEMA,
+        fn, PULL_OUT_SCHEMA, STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout)
 
 
 def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
                     query_name: str = "pulls_stream",
-                    output_dir: str | None = None) -> DataFrame:
+                    output_dir: str | None = None,
+                    reorder: bool = False) -> DataFrame:
     """Drive the stream over all currently-available input (availableNow
     trigger). Default sink is memory (smoke path; NOT checkpoint-
     recoverable). Pass ``output_dir`` for a parquet sink — the deployable
@@ -262,7 +324,7 @@ def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
     test_streaming_state_survives_restart_mid_fight)."""
     schema = "doc_id string, tokens array<int>, n_tok int, source string"
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    pulls = stream_pulls(stream)
+    pulls = stream_pulls(stream, reorder=reorder)
     if output_dir is not None:
         q = (pulls.writeStream.outputMode("append").format("parquet")
              .option("path", output_dir)

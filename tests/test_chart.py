@@ -60,3 +60,16 @@ def test_gviz_render_shape(spark):
     # full JSON string is valid and deterministic
     j1 = gviz.pull_chart_json(df)
     assert json.loads(j1)["pull_target"] == out["pull_target"]
+
+
+def test_results_listing_gviz(spark):
+    """/results gviz table: reference column set, pull_start DESC order,
+    synthetic pull_id."""
+    df = entry_mod.queries()["combat_results"](spark, SF_DIR)
+    tbl = gviz.results_table(df)
+    assert [c["id"] for c in tbl["cols"]] == [
+        "pull_start_time", "pull_target", "pull_duration", "total_damage",
+        "players_number", "pull_id"]
+    starts = [r["c"][0]["v"] for r in tbl["rows"]]
+    assert starts == sorted(starts, reverse=True) and len(starts) >= 2
+    assert all("#" in r["c"][5]["v"] for r in tbl["rows"])

@@ -297,3 +297,56 @@ def test_gc_orphan_commits(spark, tmp_path):
         assert not (out / table / "commit=cdeadbeef0rphan1").exists()
     # idempotent on a clean tree
     assert gc_orphan_commits(spark, str(out), m) == []
+
+
+def test_streaming_reorder_buffer_out_of_order_batches(spark, tmp_path):
+    """reorder=True must reproduce the ordered-batch result when batches
+    arrive OUT OF ORDER: batch 1 delivers a shuffled LATER slice of the
+    log (including both exit markers), batch 2 the missing first lines.
+    Run 1 must emit nothing (gap at line 0 stalls the parser); run 2 must
+    drain the buffer and close every fight with batch-parity totals."""
+    import random
+
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=2,
+                                       rows_per_fight=50, seed=17))[0]
+    rows = corpus_rows([log])
+    cut = 5  # a few lines INTO fight 1: its exit marker arrives early
+    late = rows[cut:]
+    random.Random(7).shuffle(late)
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_part(part_rows, mode):
+        (spark.createDataFrame(part_rows, schema=TOKEN_TABLE_SCHEMA)
+         .coalesce(1).write.mode(mode).parquet(in_dir))
+
+    write_part(late, "overwrite")
+    r1 = run_stream_once(spark, in_dir, ck, output_dir=out,
+                         reorder=True).collect()
+    assert r1 == []  # nothing can close while line 0..4 are missing
+    write_part(rows[:cut], "append")
+    r_all = run_stream_once(spark, in_dir, ck, output_dir=out,
+                            reorder=True).collect()
+
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    want = {(r["log_id"], r["fight_seq"]):
+            (r["total_damage"], r["target"]) for r in batch.pulls.collect()}
+    got = {(r["log_id"], r["fight_seq"]): (r["total_damage"], r["target"])
+           for r in r_all}
+    assert got == want, (got, want)
+    bt = {(r["log_id"], r["fight_seq"]): r["threat"]
+          for r in batch.threat.collect()}
+    for r in r_all:
+        assert r["threat"] == bt[(r["log_id"], r["fight_seq"])]
+    # per-skill parity too: the reorder path must feed _fold identically
+    bdd = {}
+    for dr in batch.damage_done_skills.collect():
+        key = (dr["log_id"], dr["fight_seq"])
+        bdd.setdefault(key, {})[dr["skill"]] = [
+            dr["hit"], dr["dodged"], dr["missed"], dr["total_damage"]]
+    for r in r_all:
+        assert json.loads(r["dd_map"]) == bdd.get(
+            (r["log_id"], r["fight_seq"]), {})
