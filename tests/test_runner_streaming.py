@@ -350,3 +350,41 @@ def test_streaming_reorder_buffer_out_of_order_batches(spark, tmp_path):
     for r in r_all:
         assert json.loads(r["dd_map"]) == bdd.get(
             (r["log_id"], r["fight_seq"]), {})
+
+
+def test_streaming_reorder_incremental_drain(spark, tmp_path):
+    """Partial progress under a gap: run 1 delivers a complete prefix
+    (fight 1 closes and is emitted immediately) plus a tail BEYOND a gap
+    (buffered, nothing emitted for it); run 2 fills the gap and fight 2
+    closes from drained state."""
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=2,
+                                       rows_per_fight=50, seed=19))[0]
+    rows = corpus_rows([log])
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    pulls = {r["fight_seq"]: r["total_damage"] for r in batch.pulls.collect()}
+    # find where fight 1 ends so the prefix provably closes it
+    from team_goldo_combat_log_parser_spark.constants import ENTER_COMBAT
+    second_enter = [i for i, ln in enumerate(log[1])
+                    if ENTER_COMBAT in ln][1]
+    prefix_end = second_enter + 3       # fight 1 closed, fight 2 open
+    gap_end = prefix_end + 10           # the hole run 2 will fill
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_part(part_rows, mode):
+        (spark.createDataFrame(part_rows, schema=TOKEN_TABLE_SCHEMA)
+         .coalesce(1).write.mode(mode).parquet(in_dir))
+
+    write_part(rows[:prefix_end] + rows[gap_end:], "overwrite")
+    r1 = run_stream_once(spark, in_dir, ck, output_dir=out,
+                         reorder=True).collect()
+    assert {r["fight_seq"] for r in r1} == {1}  # prefix closed fight 1
+    assert r1[0]["total_damage"] == pulls[1]
+    write_part(rows[prefix_end:gap_end], "append")
+    r_all = run_stream_once(spark, in_dir, ck, output_dir=out,
+                            reorder=True).collect()
+    got = {r["fight_seq"]: r["total_damage"] for r in r_all}
+    assert got == pulls, (got, pulls)
