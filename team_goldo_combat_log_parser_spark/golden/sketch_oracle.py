@@ -320,10 +320,86 @@ def lsh_ann_sql(sf_dir: str | None = None) -> str:
     return f"SELECT * FROM ({rel}) t ORDER BY qid, rank"
 
 
+def cosine_near_dup_sql(sf_dir: str | None = None) -> str:
+    """Candidate-pair VALUES (numpy re-derivation of the hyperplane
+    banding — the hash-family definition) + FULL SQL re-derivation of
+    the exact DECIMAL cosine and threshold filter over the harness
+    `embeddings` view. Same split as minhash_sql: only the hash step is
+    tabulated; every value the result carries is DuckDB arithmetic."""
+    from ..operators.similarity import NEAR_DUP_THRESHOLD
+
+    sf_dir = _sf_dir(sf_dir)
+    raw = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in raw]
+    if not ids:
+        rel = _values_rel([], [("a", "INTEGER"), ("b", "INTEGER"),
+                               ("cosine_e6", "BIGINT")])
+        return f"SELECT * FROM ({rel}) t ORDER BY a, b"
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in raw])
+    planes = _planes_matrix(m.shape[1])
+    bits = (m @ planes) > 0
+    weights = 1 << np.arange(BAND_BITS)
+    pairs: set[tuple[int, int]] = set()
+    for b in range(N_BANDS):
+        keys = bits[:, b * BAND_BITS:(b + 1) * BAND_BITS] @ weights
+        buckets: dict[int, list[int]] = defaultdict(list)
+        for i, k in enumerate(keys):
+            buckets[int(k)].append(i)
+        for members in buckets.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    va, vb = ids[members[x]], ids[members[y]]
+                    pairs.add((min(va, vb), max(va, vb)))
+    rows = [f"({a}, {b})" for a, b in sorted(pairs)]
+    cand_rel = _values_rel(rows, [("a", "INTEGER"), ("b", "INTEGER")])
+    return f"""
+    WITH cand AS (
+      {cand_rel}
+    ), n AS (
+      SELECT vec_id, embedding,
+             (SELECT SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9)))
+              FROM (SELECT unnest(embedding) AS x) t) AS norm2
+      FROM embeddings
+    ), joined AS (
+      -- LEFT joins + missing guard: an sf mismatch between the candidate
+      -- table and the harness view must fail loudly (see minhash_sql)
+      SELECT c.a, c.b, ea.embedding AS av, eb.embedding AS bv,
+             ea.norm2 AS an2, eb.norm2 AS bn2
+      FROM cand c
+      LEFT JOIN n ea ON ea.vec_id = c.a
+      LEFT JOIN n eb ON eb.vec_id = c.b
+    ), missing AS (
+      SELECT a AS vid FROM joined WHERE an2 IS NULL
+      UNION ALL
+      SELECT b FROM joined WHERE bn2 IS NULL
+    ), scored AS (
+      SELECT a, b,
+             CAST((SELECT SUM(CAST(x AS DECIMAL(18,9))
+                              * CAST(y AS DECIMAL(18,9)))
+                   FROM (SELECT unnest(av) AS x, unnest(bv) AS y) t)
+                  AS DOUBLE)
+             / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))
+               AS cosine
+      FROM joined WHERE an2 IS NOT NULL AND bn2 IS NOT NULL
+    )
+    SELECT a, b, CAST(FLOOR(cosine * 1e6) AS BIGINT) AS cosine_e6
+    FROM scored WHERE cosine >= {NEAR_DUP_THRESHOLD}
+    UNION ALL
+    SELECT CAST(error('sketch oracle: vec_id missing from embeddings '
+                      || 'view (sf mismatch?): ' || vid) AS INTEGER),
+           NULL, NULL
+    FROM missing
+    ORDER BY a, b
+    """
+
+
 def sketch_oracle_queries(sf_dir: str | None = None) -> dict[str, str]:
     return {
         "doc_minhash_lsh_pairs": minhash_sql(sf_dir),
         "doc_simhash_near_pairs": simhash_sql(sf_dir),
         "doc_fingerprint": fingerprint_sql(sf_dir),
         "emb_lsh_ann": lsh_ann_sql(sf_dir),
+        "emb_cosine_near_dup": cosine_near_dup_sql(sf_dir),
     }

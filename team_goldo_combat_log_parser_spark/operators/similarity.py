@@ -197,6 +197,65 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_THRESHOLD = 0.35
+
+
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
+                        threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup-shaped variant
+    (all pairs a < b above a similarity threshold), with LSH banding as
+    the candidate generator so the plan is an equi-join on (band, key)
+    instead of an n^2 cross join: the same scale shape as the MinHash
+    text dedup, over vectors.
+
+    Semantics are candidate-restricted by design: a pair qualifies iff
+    it shares at least one of the 16 8-bit band keys AND its exact
+    cosine (DECIMAL dot products, engine-independent) clears the
+    threshold. Recall against brute force follows the banding curve
+    (1-(1-(1-theta/pi)^8)^16) — near 1.0 for true duplicates
+    (cos -> 1), deliberately low for weakly-similar pairs. The synthetic
+    corpus plants no true duplicates (max pairwise cosine ~0.5-0.6), so
+    the default threshold sits at the distribution's top tail to keep
+    the operator demonstrably firing; production corpora with real
+    dups use 0.9+ where the banding recall is what makes this exact-in-
+    practice."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.withColumn("bkeys", _band_keys_udf("embedding"))
+    banded = sig.select(
+        "vec_id", F.posexplode("bkeys").alias("band", "bkey"))
+    pairs = (
+        banded.alias("x").join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    n = e.withColumn("norm2", _norm_decimal("embedding"))
+    ea = n.select(F.col("vec_id").alias("a"), F.col("embedding").alias("av"),
+                  F.col("norm2").alias("an2"))
+    eb = n.select(F.col("vec_id").alias("b"), F.col("embedding").alias("bv"),
+                  F.col("norm2").alias("bn2"))
+    dot = F.aggregate(
+        F.zip_with("av", "bv",
+                   lambda x, y: x.cast("decimal(18,9)")
+                   * y.cast("decimal(18,9)")),
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, x: (acc + x).cast("decimal(38,18)"))
+    scored = (
+        pairs.join(ea, "a").join(eb, "b")
+        .withColumn("cosine",
+                    dot.cast("double")
+                    / (F.sqrt(F.col("an2").cast("double"))
+                       * F.sqrt(F.col("bn2").cast("double"))))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (scored.select("a", "b",
+                          F.floor(F.col("cosine") * 1e6).alias("cosine_e6"))
+            .orderBy("a", "b"))
+
+
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per label: count + exact decimal mean-norm stats (sanity rollup)."""
     e = load(spark, sf_dir, "embeddings")
@@ -285,4 +344,7 @@ QUERIES = {
     "emb_label_centroid_sim": emb_label_centroid_sim,
     # rows-only: approximate path, recall checked in pytest vs brute force
     "emb_lsh_ann": emb_lsh_ann,
+    # oracled via sketch_oracle.cosine_near_dup_sql (banding tabulated,
+    # decimal cosine + threshold re-derived in DuckDB SQL)
+    "emb_cosine_near_dup": emb_cosine_near_dup,
 }

@@ -46,6 +46,33 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# BPE-ish tokenization regex, engine-portable by construction: no
+# lookahead (RE2 has none — the GPT-2 pattern's \s+(?!\S) tail is
+# dropped; whitespace is simply skipped between matches), ASCII classes
+# only (Java \s and RE2 \s are both ASCII), and alternation order that
+# gives the same result under leftmost-first and leftmost-longest
+# semantics. Branches: contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs (apostrophe
+# excluded so contractions win), bare apostrophe runs.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'+"
+
+
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: subword-merge-style pre-tokenizer counts
+    next to the whitespace count, plus their ratio (floor e6 — the
+    fertility proxy a training-data pipeline budgets GPU hours with)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), 0))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.floor(bpe.cast("double") / ws.cast("double") * 1e6)
+        .alias("bpe_per_ws_e6"),
+    ).orderBy("doc_id")
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword density + length band (heuristic filter)."""
     d = load(spark, sf_dir, "documents")
@@ -319,6 +346,19 @@ ORACLE_SQL: dict[str, str] = {
                length(text) AS len_chars
         FROM documents ORDER BY doc_id
     """,
+    "doc_bpe_token_count": """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''+'))
+                 AS n_bpe_tokens,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+               CAST(FLOOR(CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''+'))
+                 AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')) * 1e6)
+                 AS BIGINT) AS bpe_per_ws_e6
+        FROM documents ORDER BY doc_id
+    """,
     "doc_quality_score": """
         WITH x AS (
           SELECT doc_id,
@@ -385,6 +425,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
+    "doc_bpe_token_count": doc_bpe_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_guess": doc_lang_guess,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,

@@ -207,3 +207,41 @@ def test_sketch_queries_leave_no_sql_cache(spark, sf001):
                t.doc_simhash_near_pairs):
         fn(spark, sf001).collect()
         assert cm.isEmpty(), f"{fn.__name__} left a CacheManager entry"
+
+
+def test_cosine_near_dup_matches_bruteforce(spark, sf001):
+    """emb_cosine_near_dup == independent numpy re-derivation: candidate
+    pairs from the banding definition, exact cosines, threshold filter —
+    shared with the Spark path only through the hash-family definition
+    (_planes_matrix)."""
+    import duckdb as ddb
+    import numpy as np
+    from collections import defaultdict
+
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        BAND_BITS, N_BANDS, NEAR_DUP_THRESHOLD, _planes_matrix,
+        emb_cosine_near_dup)
+
+    rows = ddb.sql(f"SELECT vec_id, embedding FROM "
+                   f"'{sf001}/embeddings.parquet' ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    bits = (m @ _planes_matrix(m.shape[1])) > 0
+    w = 1 << np.arange(BAND_BITS)
+    cand = set()
+    for b in range(N_BANDS):
+        keys = bits[:, b * BAND_BITS:(b + 1) * BAND_BITS] @ w
+        buckets = defaultdict(list)
+        for i, k in enumerate(keys):
+            buckets[int(k)].append(i)
+        for v in buckets.values():
+            for x in range(len(v)):
+                for y in range(x + 1, len(v)):
+                    cand.add((v[x], v[y]))
+    norms = np.linalg.norm(m, axis=1)
+    want = sorted(
+        (ids[i], ids[j])
+        for i, j in cand
+        if (m[i] @ m[j]) / (norms[i] * norms[j]) >= NEAR_DUP_THRESHOLD)
+    got = [(r["a"], r["b"]) for r in emb_cosine_near_dup(spark, sf001).collect()]
+    assert got == want and len(got) > 10, (len(got), len(want))
