@@ -237,18 +237,29 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
                   F.col("norm2").alias("an2"))
     eb = n.select(F.col("vec_id").alias("b"), F.col("embedding").alias("bv"),
                   F.col("norm2").alias("bn2"))
+    # two-phase scoring: a cheap double-precision prefilter (codegen'd
+    # float fold) cuts the ~100x-larger candidate set down to near-
+    # threshold pairs, and only those pay the exact DECIMAL dot (boxed
+    # BigDecimal arithmetic, ~10x slower per element). The 1e-6 margin
+    # dwarfs double-vs-decimal rounding (~1e-15 relative), so the final
+    # decimal-based threshold decides every borderline pair — the
+    # prefilter can only drop pairs decisively below it.
+    dot_fast = F.aggregate(
+        F.zip_with("av", "bv",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
     dot = F.aggregate(
         F.zip_with("av", "bv",
                    lambda x, y: x.cast("decimal(18,9)")
                    * y.cast("decimal(18,9)")),
         F.lit(0).cast("decimal(38,18)"),
         lambda acc, x: (acc + x).cast("decimal(38,18)"))
+    denom = (F.sqrt(F.col("an2").cast("double"))
+             * F.sqrt(F.col("bn2").cast("double")))
     scored = (
         pairs.join(ea, "a").join(eb, "b")
-        .withColumn("cosine",
-                    dot.cast("double")
-                    / (F.sqrt(F.col("an2").cast("double"))
-                       * F.sqrt(F.col("bn2").cast("double"))))
+        .filter(dot_fast / denom >= threshold - 1e-6)
+        .withColumn("cosine", dot.cast("double") / denom)
         .filter(F.col("cosine") >= threshold)
     )
     return (scored.select("a", "b",

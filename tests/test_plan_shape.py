@@ -69,3 +69,15 @@ def test_combat_routed_shuffle_budget(spark):
     # the parse is map-only: Arrow UDF evals (detok) appear, but no
     # exchange sits between a token scan and its ArrowEvalPython
     assert nodes.count("ArrowEvalPython") == 3, nodes
+
+
+def test_near_dup_plan_is_banded_not_cartesian(spark, sf001):
+    """emb_cosine_near_dup must stay an equi-join on (band, key): a
+    regression to CartesianProduct/BroadcastNestedLoop would be brute
+    force with extra steps at 10^9 vectors."""
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        emb_cosine_near_dup)
+
+    plan = plan_of(emb_cosine_near_dup(spark, sf001))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
