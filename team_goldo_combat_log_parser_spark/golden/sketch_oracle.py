@@ -320,6 +320,89 @@ def lsh_ann_sql(sf_dir: str | None = None) -> str:
     return f"SELECT * FROM ({rel}) t ORDER BY qid, rank"
 
 
+def ivf_ann_sql(sf_dir: str | None = None) -> str:
+    """Sequential re-derivation of the IVF ANN (declared, like
+    lsh_ann_sql): stride seeding, Lloyd rounds with vec_id-ordered
+    left-fold cell sums (bit-identical to Spark's array_sort +
+    F.aggregate double fold), cosine assignment against SUM centroids
+    (scale-invariant — no division ever computed), nprobe probing, and
+    the exact left-fold cosine re-rank — rendered as VALUES."""
+    from ..operators.similarity import (
+        IVF_ITERS, IVF_K, IVF_NPROBE, N_QUERIES, TOP_K)
+
+    sf_dir = _sf_dir(sf_dir)
+    raw = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in raw]
+    cols = [("qid", "INTEGER"), ("rank", "INTEGER"),
+            ("neighbor_id", "INTEGER"), ("cosine_e6", "BIGINT")]
+    if not ids:
+        return (f"SELECT * FROM ({_values_rel([], cols)}) t "
+                "ORDER BY qid, rank")
+    emb = {r[0]: [float(x) for x in r[1]] for r in raw}
+    m = np.stack([np.asarray(emb[v], dtype=np.float64) for v in ids])
+    dim = m.shape[1]
+    stride = max(len(ids) // IVF_K, 1)
+    cents = np.stack([m[ids.index(i * stride)] for i in range(IVF_K)])
+
+    def assign_all(c: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(c, axis=1)
+        norms[norms == 0] = 1.0
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        cos = (m @ c.T) / np.outer(mn, norms)
+        return np.argmax(cos, axis=1)
+
+    for _ in range(IVF_ITERS):
+        cells = assign_all(cents)
+        new = cents.copy()
+        for c in range(IVF_K):
+            members = [i for i in range(len(ids)) if cells[i] == c]
+            if not members:
+                continue
+            # vec_id-ordered left fold per component — same op order as
+            # the engine's array_sort + F.aggregate double fold
+            for p in range(dim):
+                s = 0.0
+                for i in sorted(members, key=lambda i: ids[i]):
+                    s += float(m[i, p])
+                new[c, p] = s
+        cents = new
+
+    cells = assign_all(cents)
+    cnorms = np.linalg.norm(cents, axis=1)
+    cnorms[cnorms == 0] = 1.0
+
+    def fold_dot(xs, ys):
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc += float(x) * float(y)
+        return acc
+
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= N_QUERIES:
+            continue
+        qn = np.linalg.norm(m[qi]) or 1.0
+        qcos = (m[qi] @ cents.T) / (qn * cnorms)
+        order = sorted(range(IVF_K), key=lambda c: (-qcos[c], c))
+        probe = set(order[:IVF_NPROBE])
+        cands = {ids[i] for i in range(len(ids))
+                 if cells[i] in probe and ids[i] != qid}
+        scored = []
+        for cid in cands:
+            qv, ev = emb[qid], emb[cid]
+            cos = fold_dot(qv, ev) / (math.sqrt(fold_dot(qv, qv))
+                                      * math.sqrt(fold_dot(ev, ev)))
+            scored.append((cid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (cid, cos) in enumerate(scored[:TOP_K], 1):
+            rows.append(f"({qid}, {rank}, {cid}, {math.floor(cos * 1e6)})")
+    return (f"SELECT * FROM ({_values_rel(rows, cols)}) t "
+            "ORDER BY qid, rank")
+
+
 def cosine_near_dup_sql(sf_dir: str | None = None) -> str:
     """Candidate-pair VALUES (numpy re-derivation of the hyperplane
     banding — the hash-family definition) + FULL SQL re-derivation of
@@ -401,5 +484,6 @@ def sketch_oracle_queries(sf_dir: str | None = None) -> dict[str, str]:
         "doc_simhash_near_pairs": simhash_sql(sf_dir),
         "doc_fingerprint": fingerprint_sql(sf_dir),
         "emb_lsh_ann": lsh_ann_sql(sf_dir),
+        "emb_ivf_ann": ivf_ann_sql(sf_dir),
         "emb_cosine_near_dup": cosine_near_dup_sql(sf_dir),
     }

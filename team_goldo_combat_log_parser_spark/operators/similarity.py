@@ -197,6 +197,140 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ IVF ANN (scale path 2)
+
+# Coarse quantizer: IVF_K cells, stride-seeded, IVF_ITERS Lloyd rounds.
+# Everything is DETERMINISTIC by construction so the sequential oracle
+# reproduces it bit-for-bit: (1) assignment compares cosine to the cell's
+# SUM vector (cosine is scale-invariant, so the mean's division — whose
+# decimal scale semantics differ per engine — is never computed);
+# (2) cell sums are order-fixed folds over vec_id-sorted members
+# (array_sort(collect_list) + left-fold), not a shuffle-order SUM.
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_ITERS = 2
+
+
+def _ivf_assign_udf(cents: np.ndarray):
+    """Pandas UDF assigning each vector to its nearest cell by cosine
+    against the (sum-vector) centroids — one numpy matmul per Arrow
+    batch. Ties break to the lowest cell id (argmax first-wins)."""
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        cos = (m @ cents.T) / np.outer(mn, norms)
+        return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Train the coarse quantizer distributed: seed with a vec_id stride,
+    then IVF_ITERS Lloyd rounds of (distributed assignment -> per-cell
+    order-fixed component folds -> K x dim driver-side model update).
+    Only the K x dim centroid state ever reaches the driver — the
+    standard IVF shape (at 10^12 vectors the train runs on a bounded
+    sample; assignment of the full corpus stays distributed)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    stride = max(n // IVF_K, 1)
+    seed_ids = [i * stride for i in range(IVF_K)]
+    seeds = {r["vec_id"]: r["embedding"]
+             for r in e.filter(F.col("vec_id").isin(seed_ids)).collect()}
+    cents = np.stack([np.asarray(seeds[i], dtype=np.float64)
+                      for i in seed_ids])
+    for _ in range(IVF_ITERS):
+        assigned = e.withColumn("cell", _ivf_assign_udf(cents)("embedding"))
+        comp = assigned.select(
+            "cell", "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos", "v"))
+        # order-fixed fold: sort members by vec_id, then left-fold —
+        # float addition is not associative, so a plain SUM would be
+        # shuffle-order-dependent and the oracle could never match it
+        folded = (
+            comp.groupBy("cell", "pos")
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                F.lit(0.0), lambda acc, x: acc + x["v"]).alias("s"))
+        )
+        rows = folded.collect()
+        new = cents.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        for c, posmap in by_cell.items():
+            new[c] = [posmap[p] for p in range(cents.shape[1])]
+        cents = new
+    return cents
+
+
+def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN — the second scale path next to the LSH one:
+    vectors are bucketed by nearest coarse centroid (inverted file), a
+    query probes its IVF_NPROBE nearest cells, and the exact left-fold
+    cosine re-ranks candidates only. The candidate join is an equi-join
+    on cell id; candidates per query ~ nprobe * n / K, independent of
+    how the corpus grows if K grows with it (K ~ sqrt(n) rule)."""
+    cents = ivf_train_centroids(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    data = e.withColumn("cell", _ivf_assign_udf(cents)("embedding")).select(
+        F.col("vec_id"), F.col("embedding"), "cell")
+
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        cos = (m @ cents.T) / np.outer(mn, norms)
+        # nprobe best cells, ties to lower id: sort by (-cos, cell)
+        order = np.lexsort((np.arange(cos.shape[1])[None, :]
+                            .repeat(len(m), 0), -cos), axis=1)
+        return pd.Series(list(order[:, :IVF_NPROBE].astype("int32")))
+
+    q = (e.filter(F.col("vec_id") < N_QUERIES)
+         .withColumn("cells", probe_cells("embedding"))
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"),
+                 F.explode("cells").alias("cell")))
+    cand = (q.join(data, "cell")
+            .filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", "qv", "vec_id", "embedding")
+            .distinct())
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qn = F.sqrt(F.aggregate(
+        F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    en = F.sqrt(F.aggregate(
+        F.transform("embedding",
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    scored = cand.withColumn("cosine", dot / (qn * en))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.floor(F.col("cosine") * 1e6).alias("cosine_e6"))
+        .orderBy("qid", "rank")
+    )
+
+
 NEAR_DUP_THRESHOLD = 0.35
 
 
@@ -355,6 +489,9 @@ QUERIES = {
     "emb_label_centroid_sim": emb_label_centroid_sim,
     # rows-only: approximate path, recall checked in pytest vs brute force
     "emb_lsh_ann": emb_lsh_ann,
+    # second ANN scale path: inverted-file coarse quantizer (sequential
+    # oracle via sketch_oracle.ivf_ann_sql; recall-tested vs brute force)
+    "emb_ivf_ann": emb_ivf_ann,
     # oracled via sketch_oracle.cosine_near_dup_sql (banding tabulated,
     # decimal cosine + threshold re-derived in DuckDB SQL)
     "emb_cosine_near_dup": emb_cosine_near_dup,

@@ -245,3 +245,24 @@ def test_cosine_near_dup_matches_bruteforce(spark, sf001):
         if (m[i] @ m[j]) / (norms[i] * norms[j]) >= NEAR_DUP_THRESHOLD)
     got = [(r["a"], r["b"]) for r in emb_cosine_near_dup(spark, sf001).collect()]
     assert got == want and len(got) > 10, (len(got), len(want))
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf001):
+    """IVF top-k must overlap the exact brute-force top-k substantially
+    (nprobe=4 of 16 cells), and the plan must be cell-equi-join-shaped:
+    candidate count per query stays ~nprobe/K of the corpus."""
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        TOP_K, emb_cosine_topk, emb_ivf_ann)
+
+    exact = {}
+    for r in emb_cosine_topk(spark, sf001).collect():
+        exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in emb_ivf_ann(spark, sf001).collect():
+        ivf.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    assert set(ivf) == set(exact)
+    recalls = [len(ivf[q] & exact[q]) / TOP_K for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # random 64-d corpus, nprobe 4/16: well above the 0.25 a uniform
+    # cell draw would give — the quantizer must actually be learning
+    assert mean_recall >= 0.5, (mean_recall, recalls)

@@ -48,6 +48,7 @@ SKETCHES = {
     "doc_simhash_near_pairs": text.doc_simhash_near_pairs,
     "doc_fingerprint": text.doc_fingerprint,
     "emb_lsh_ann": similarity.emb_lsh_ann,
+    "emb_ivf_ann": similarity.emb_ivf_ann,
     "emb_cosine_near_dup": similarity.emb_cosine_near_dup,
 }
 
