@@ -107,6 +107,7 @@ QUERY_BENCHES = {
     "doc_simhash_near_pairs": text.doc_simhash_near_pairs,
     "emb_cosine_topk": similarity.emb_cosine_topk,
     "emb_lsh_ann": similarity.emb_lsh_ann,
+    "emb_cosine_near_dup": similarity.emb_cosine_near_dup,
 }
 
 
