@@ -254,49 +254,55 @@ _BufRow = namedtuple("_BufRow", _ROW_FIELDS)
 REORDER_MAX_BUFFER = 100_000
 
 
-def _stateful_fn_reorder(key: tuple, pdfs: Iterator[pd.DataFrame],
-                         state: GroupState) -> Iterator[pd.DataFrame]:
+def _make_reorder_fn(max_buffer: int):
     """Order-tolerant variant of _stateful_fn: rows enter a per-log buffer
     keyed by line_no and are fed to the parser strictly in sequence
     (line_no is contiguous from 0 per log), so arbitrary cross-batch
     reordering — a late marker, a shuffled replay — produces EXACTLY the
     ordered result. Rows ahead of a gap wait in the state; the parser
-    state machine itself is unchanged (_fold)."""
-    log_id = key[0]
-    if state.exists:
-        st = json.loads(state.get[0])
-        st.setdefault("heal_by", {})
-        st.setdefault("dd_by", {})
-        st.setdefault("dr_by", {})
-    else:
-        st = {"in_combat": False, "player": None, "healer": None, "seq": 0,
-              "start": None, "target": None, "dmg": 0, "heal": 0,
-              "threat": 0}
-    buf = {int(k): v for k, v in st.pop("_buf", {}).items()}
-    next_line = st.pop("_next", 0)
-    done: list[dict] = []
-    for pdf in pdfs:
-        for r in pdf[_ROW_FIELDS].itertuples(index=False):
-            buf[int(r.line_no)] = [int(r.line_no), *r[1:]]
-    if len(buf) > REORDER_MAX_BUFFER:
-        raise RuntimeError(
-            f"reorder buffer for {log_id} exceeds {REORDER_MAX_BUFFER} "
-            f"rows waiting on line {next_line} — line lost upstream?")
-    while next_line in buf:
-        r = _BufRow(*buf.pop(next_line))
-        pull = _fold(st, r)
-        if pull:
-            pull["log_id"] = log_id
-            done.append(pull)
-        next_line += 1
-    st["_buf"] = {str(k): v for k, v in buf.items()}
-    st["_next"] = next_line
-    state.update((json.dumps(st),))
-    if done:
-        yield pd.DataFrame(done)[[f.name for f in PULL_OUT_SCHEMA.fields]]
+    state machine itself is unchanged (_fold). Built as a closure so the
+    buffer bound ships with the pickled function to the executors."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        log_id = key[0]
+        if state.exists:
+            st = json.loads(state.get[0])
+            st.setdefault("heal_by", {})
+            st.setdefault("dd_by", {})
+            st.setdefault("dr_by", {})
+        else:
+            st = {"in_combat": False, "player": None, "healer": None,
+                  "seq": 0, "start": None, "target": None, "dmg": 0,
+                  "heal": 0, "threat": 0}
+        buf = {int(k): v for k, v in st.pop("_buf", {}).items()}
+        next_line = st.pop("_next", 0)
+        done: list[dict] = []
+        for pdf in pdfs:
+            for r in pdf[_ROW_FIELDS].itertuples(index=False):
+                buf[int(r.line_no)] = [int(r.line_no), *r[1:]]
+        if len(buf) > max_buffer:
+            raise RuntimeError(
+                f"reorder buffer for {log_id} exceeds {max_buffer} "
+                f"rows waiting on line {next_line} — line lost upstream?")
+        while next_line in buf:
+            r = _BufRow(*buf.pop(next_line))
+            pull = _fold(st, r)
+            if pull:
+                pull["log_id"] = log_id
+                done.append(pull)
+            next_line += 1
+        st["_buf"] = {str(k): v for k, v in buf.items()}
+        st["_next"] = next_line
+        state.update((json.dumps(st),))
+        if done:
+            yield pd.DataFrame(done)[[f.name for f in PULL_OUT_SCHEMA.fields]]
+
+    return fn
 
 
-def stream_pulls(tokens_stream: DataFrame, reorder: bool = False) -> DataFrame:
+def stream_pulls(tokens_stream: DataFrame, reorder: bool = False,
+                 reorder_max_buffer: int = REORDER_MAX_BUFFER) -> DataFrame:
     """Streaming token table -> stream of finished pulls. reorder=True
     tolerates out-of-order arrival across micro-batches (see module
     docstring) at the cost of a per-log line buffer in the state."""
@@ -305,7 +311,7 @@ def stream_pulls(tokens_stream: DataFrame, reorder: bool = False) -> DataFrame:
     slim = parsed.select("log_id", "line_no", "log_date", "time_raw",
                          "src_raw", "tgt_raw", "skill_raw", "effect_raw",
                          "amount_raw")
-    fn = _stateful_fn_reorder if reorder else _stateful_fn
+    fn = _make_reorder_fn(reorder_max_buffer) if reorder else _stateful_fn
     return slim.groupBy("log_id").applyInPandasWithState(
         fn, PULL_OUT_SCHEMA, STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout)
@@ -314,7 +320,8 @@ def stream_pulls(tokens_stream: DataFrame, reorder: bool = False) -> DataFrame:
 def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
                     query_name: str = "pulls_stream",
                     output_dir: str | None = None,
-                    reorder: bool = False) -> DataFrame:
+                    reorder: bool = False,
+                    reorder_max_buffer: int = REORDER_MAX_BUFFER) -> DataFrame:
     """Drive the stream over all currently-available input (availableNow
     trigger). Default sink is memory (smoke path; NOT checkpoint-
     recoverable). Pass ``output_dir`` for a parquet sink — the deployable
@@ -324,7 +331,8 @@ def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
     test_streaming_state_survives_restart_mid_fight)."""
     schema = "doc_id string, tokens array<int>, n_tok int, source string"
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    pulls = stream_pulls(stream, reorder=reorder)
+    pulls = stream_pulls(stream, reorder=reorder,
+                         reorder_max_buffer=reorder_max_buffer)
     if output_dir is not None:
         q = (pulls.writeStream.outputMode("append").format("parquet")
              .option("path", output_dir)

@@ -388,3 +388,22 @@ def test_streaming_reorder_incremental_drain(spark, tmp_path):
                             reorder=True).collect()
     got = {r["fight_seq"]: r["total_damage"] for r in r_all}
     assert got == pulls, (got, pulls)
+
+
+def test_streaming_reorder_buffer_bound_fires(spark, tmp_path):
+    """A permanently-missing line must surface as a loud error once the
+    buffer bound is exceeded — never as silent unbounded state growth."""
+    import pytest as _pytest
+
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=1,
+                                       rows_per_fight=40, seed=23))[0]
+    rows = corpus_rows([log])[1:]  # line 0 lost forever
+    (spark.createDataFrame(rows, schema=TOKEN_TABLE_SCHEMA)
+     .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in")))
+    with _pytest.raises(Exception, match="reorder buffer .* exceeds 10"):
+        run_stream_once(spark, str(tmp_path / "in"), str(tmp_path / "ck"),
+                        output_dir=str(tmp_path / "out"),
+                        reorder=True, reorder_max_buffer=10)

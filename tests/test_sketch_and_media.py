@@ -266,3 +266,35 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf001):
     # random 64-d corpus, nprobe 4/16: well above the 0.25 a uniform
     # cell draw would give — the quantizer must actually be learning
     assert mean_recall >= 0.5, (mean_recall, recalls)
+
+
+def test_bpe_regex_cross_engine_random_strings(spark):
+    """The BPE-ish pre-tokenizer regex must extract IDENTICAL token
+    sequences in Spark (Java regex) and DuckDB (RE2) — alternation-order
+    and \\s-semantics divergence would silently skew every count. 60
+    seeded random strings mixing letters, digits, contractions, unicode
+    whitespace, and punctuation runs."""
+    import random
+
+    import duckdb as ddb
+    from pyspark.sql import functions as F
+
+    from team_goldo_combat_log_parser_spark.operators.text import BPE_ISH_RE
+
+    rng = random.Random(424242)
+    alphabet = ["foo", "Bar9", "42", "'s", "'t", "'", "''", "-", "...",
+                " ", "  ", "\t", "\n", " ", " ", "l'eau",
+                "don't", "x,y;z", "#tag", "naïve", "Ω", "a'b'c"]
+    strings = ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 12)))
+               for _ in range(60)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(strings)],
+                               "i int, t string").select(
+        "i", F.regexp_extract_all("t", F.lit(BPE_ISH_RE), 0).alias("toks"))
+    got = {r["i"]: list(r["toks"]) for r in df.collect()}
+    pat = BPE_ISH_RE.replace("'", "''")
+    for i, t in enumerate(strings):
+        esc = t.replace("'", "''")
+        want = list(ddb.sql(
+            f"SELECT regexp_extract_all('{esc}', '{pat}')").fetchone()[0])
+        assert got[i] == want, (i, repr(t), got[i], want)
