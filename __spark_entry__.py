@@ -46,17 +46,9 @@ from team_goldo_combat_log_parser_spark.sources import datagen as dg
 CHART_LOG = "combat_2012-06-06_20_33_20_fixture"
 CHART_SEQ = 1
 
-# from_json schema for the pull `data` blob round-trip (combat_pull_json)
-_PULL_JSON_SCHEMA = (
-    "pull_start string, pull_stop string, target string, "
-    "players_set array<string>, "
-    "damage_done array<struct<player string, skill string, hit bigint, "
-    "dodged bigint, missed bigint, total_damage bigint>>, "
-    "damage_received array<struct<player string, attacker string, "
-    "skill string, hit bigint, dodged bigint, shielded bigint, "
-    "missed bigint, resisted bigint, total_damage bigint, dmg_type string>>, "
-    "heal array<struct<healer string, heal bigint>>, "
-    "threat array<struct<player string, threat bigint>>")
+# from_json schema for the pull `data` blob round-trip (combat_pull_json);
+# one definition, shared with the chart composite
+_PULL_JSON_SCHEMA = chart.PULL_JSON_SCHEMA
 
 
 def _combat_corpus() -> list[tuple[str, list[str]]]:
