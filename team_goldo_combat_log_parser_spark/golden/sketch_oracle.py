@@ -322,13 +322,17 @@ def lsh_ann_sql(sf_dir: str | None = None) -> str:
 
 def ivf_ann_sql(sf_dir: str | None = None) -> str:
     """Sequential re-derivation of the IVF ANN (declared, like
-    lsh_ann_sql): stride seeding, Lloyd rounds with vec_id-ordered
-    left-fold cell sums (bit-identical to Spark's array_sort +
-    F.aggregate double fold), cosine assignment against SUM centroids
-    (scale-invariant — no division ever computed), nprobe probing, and
-    the exact left-fold cosine re-rank — rendered as VALUES."""
+    lsh_ann_sql): vec_id-modulus training sample, position-stride
+    seeding over the sorted sample ids (deduped — mirrors
+    similarity._ivf_seed_ids), Lloyd rounds over the SAMPLE with
+    vec_id-ordered left-fold cell sums (bit-identical to Spark's
+    array_sort + F.aggregate double fold), cosine assignment of the full
+    corpus against SUM centroids (scale-invariant — no division ever
+    computed), nprobe probing, and the exact left-fold cosine re-rank —
+    rendered as VALUES."""
     from ..operators.similarity import (
-        IVF_ITERS, IVF_K, IVF_NPROBE, N_QUERIES, TOP_K)
+        IVF_ITERS, IVF_K, IVF_NPROBE, IVF_TRAIN_TARGET, N_QUERIES, TOP_K,
+        _ivf_seed_ids)
 
     sf_dir = _sf_dir(sf_dir)
     raw = duckdb.sql(
@@ -343,36 +347,42 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
     emb = {r[0]: [float(x) for x in r[1]] for r in raw}
     m = np.stack([np.asarray(emb[v], dtype=np.float64) for v in ids])
     dim = m.shape[1]
-    stride = max(len(ids) // IVF_K, 1)
-    cents = np.stack([m[ids.index(i * stride)] for i in range(IVF_K)])
+    mod = max(len(ids) // IVF_TRAIN_TARGET, 1)
+    tidx = [i for i in range(len(ids)) if ids[i] % mod == 0]
+    tids = [ids[i] for i in tidx]  # ascending (ids is sorted)
+    seed_ids = _ivf_seed_ids(tids, IVF_K)
+    cents = np.stack([m[ids.index(s)] for s in seed_ids])
+    k_eff = cents.shape[0]
 
-    def assign_all(c: np.ndarray) -> np.ndarray:
+    def assign(c: np.ndarray, mm: np.ndarray) -> np.ndarray:
         norms = np.linalg.norm(c, axis=1)
         norms[norms == 0] = 1.0
-        mn = np.linalg.norm(m, axis=1)
+        mn = np.linalg.norm(mm, axis=1)
         mn[mn == 0] = 1.0
-        cos = (m @ c.T) / np.outer(mn, norms)
+        cos = (mm @ c.T) / np.outer(mn, norms)
         return np.argmax(cos, axis=1)
 
+    tm = m[tidx]
     for _ in range(IVF_ITERS):
-        cells = assign_all(cents)
+        tcells = assign(cents, tm)
         new = cents.copy()
-        for c in range(IVF_K):
-            members = [i for i in range(len(ids)) if cells[i] == c]
+        for c in range(k_eff):
+            # tidx is vec_id-ascending, so iteration order == the
+            # engine's array_sort(struct(vec_id, v)) left-fold order
+            members = [j for j in range(len(tids)) if tcells[j] == c]
             if not members:
                 continue
-            # vec_id-ordered left fold per component — same op order as
-            # the engine's array_sort + F.aggregate double fold
             for p in range(dim):
                 s = 0.0
-                for i in sorted(members, key=lambda i: ids[i]):
-                    s += float(m[i, p])
+                for j in members:
+                    s += float(tm[j, p])
                 new[c, p] = s
         cents = new
 
-    cells = assign_all(cents)
+    cells = assign(cents, m)
     cnorms = np.linalg.norm(cents, axis=1)
     cnorms[cnorms == 0] = 1.0
+    nprobe = min(IVF_NPROBE, k_eff)
 
     def fold_dot(xs, ys):
         acc = 0.0
@@ -386,8 +396,8 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
             continue
         qn = np.linalg.norm(m[qi]) or 1.0
         qcos = (m[qi] @ cents.T) / (qn * cnorms)
-        order = sorted(range(IVF_K), key=lambda c: (-qcos[c], c))
-        probe = set(order[:IVF_NPROBE])
+        order = sorted(range(k_eff), key=lambda c: (-qcos[c], c))
+        probe = set(order[:nprobe])
         cands = {ids[i] for i in range(len(ids))
                  if cells[i] in probe and ids[i] != qid}
         scored = []

@@ -205,10 +205,40 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SUM vector (cosine is scale-invariant, so the mean's division — whose
 # decimal scale semantics differ per engine — is never computed);
 # (2) cell sums are order-fixed folds over vec_id-sorted members
-# (array_sort(collect_list) + left-fold), not a shuffle-order SUM.
+# (array_sort(collect_list) + left-fold), not a shuffle-order SUM;
+# (3) the training sample is a vec_id modulus, not df.sample() (whose
+# row order dependence no oracle could reproduce).
 IVF_K = 16
 IVF_NPROBE = 4
 IVF_ITERS = 2
+# Lloyd runs on a bounded deterministic sample (vec_id % mod == 0, mod
+# sized so ~IVF_TRAIN_TARGET rows survive); only ASSIGNMENT of the full
+# corpus stays full-scale — the standard IVF train/serve split. At 10^12
+# vectors training cost is O(sample), not O(corpus).
+IVF_TRAIN_TARGET = 512
+
+# one-train-many-queries: trained models memoized per corpus dir (and
+# optionally persisted to parquet via model_path) so repeated queries
+# never re-run Lloyd. train_runs is a test hook counting actual trainings.
+_ivf_model_cache: dict[str, np.ndarray] = {}
+_ivf_train_stats = {"train_runs": 0}
+
+
+def _ivf_seed_ids(ids: list[int], k: int) -> list[int]:
+    """Seed ids by POSITION stride over the sorted id list — robust to
+    gapped vec_ids and to n < k (clamped positions collapse to duplicates,
+    which dedupe to fewer cells) — per round-4 advice: the old
+    ``vec_id == i*stride`` form assumed contiguous ids and n >= k."""
+    n = len(ids)
+    stride = max(n // k, 1)
+    seen: set[int] = set()
+    out: list[int] = []
+    for i in range(k):
+        sid = ids[min(i * stride, n - 1)]
+        if sid not in seen:
+            seen.add(sid)
+            out.append(sid)
+    return out
 
 
 def _ivf_assign_udf(cents: np.ndarray):
@@ -232,22 +262,29 @@ def _ivf_assign_udf(cents: np.ndarray):
 
 
 def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Train the coarse quantizer distributed: seed with a vec_id stride,
-    then IVF_ITERS Lloyd rounds of (distributed assignment -> per-cell
-    order-fixed component folds -> K x dim driver-side model update).
-    Only the K x dim centroid state ever reaches the driver — the
-    standard IVF shape (at 10^12 vectors the train runs on a bounded
-    sample; assignment of the full corpus stays distributed)."""
+    """Train the coarse quantizer distributed, on a bounded sample: keep
+    vec_id % mod == 0 rows (mod sized for ~IVF_TRAIN_TARGET survivors —
+    deterministic, so the sequential oracle reproduces it), seed by
+    position stride over the sorted sample ids, then IVF_ITERS Lloyd
+    rounds of (distributed assignment -> per-cell order-fixed component
+    folds -> K x dim driver-side model update). Only the K x dim centroid
+    state and the sample id list ever reach the driver."""
+    _ivf_train_stats["train_runs"] += 1
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
-    stride = max(n // IVF_K, 1)
-    seed_ids = [i * stride for i in range(IVF_K)]
+    if n == 0:
+        raise ValueError("cannot train an IVF model on an empty corpus")
+    mod = max(n // IVF_TRAIN_TARGET, 1)
+    train = e.filter((F.col("vec_id") % mod) == 0) if mod > 1 else e
+    ids = sorted(r["vec_id"] for r in train.select("vec_id").collect())
+    seed_ids = _ivf_seed_ids(ids, IVF_K)
     seeds = {r["vec_id"]: r["embedding"]
-             for r in e.filter(F.col("vec_id").isin(seed_ids)).collect()}
+             for r in train.filter(F.col("vec_id").isin(seed_ids)).collect()}
     cents = np.stack([np.asarray(seeds[i], dtype=np.float64)
                       for i in seed_ids])
     for _ in range(IVF_ITERS):
-        assigned = e.withColumn("cell", _ivf_assign_udf(cents)("embedding"))
+        assigned = train.withColumn(
+            "cell", _ivf_assign_udf(cents)("embedding"))
         comp = assigned.select(
             "cell", "vec_id",
             F.posexplode(F.col("embedding").cast("array<double>"))
@@ -272,14 +309,61 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     return cents
 
 
-def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def save_ivf_model(spark: SparkSession, cents: np.ndarray,
+                   model_path: str) -> None:
+    """Persist the K x dim centroid model as a tiny parquet table — the
+    serve-side artifact a production deployment ships separately from
+    the corpus (train once offline, load everywhere)."""
+    rows = [(int(i), [float(x) for x in cents[i]])
+            for i in range(cents.shape[0])]
+    (spark.createDataFrame(rows, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(model_path))
+
+
+def load_ivf_model(spark: SparkSession, model_path: str) -> np.ndarray:
+    rows = spark.read.parquet(model_path).orderBy("cell").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                     for r in rows])
+
+
+def ivf_model(spark: SparkSession, sf_dir: str,
+              model_path: str | None = None) -> np.ndarray:
+    """Load-or-train: in-memory memo per corpus dir, then the persisted
+    parquet model if ``model_path`` is given and readable, then a fresh
+    training run (persisted back to ``model_path`` when given). One
+    train, many queries — ``emb_ivf_ann`` never re-runs Lloyd for a
+    corpus this session."""
+    import os
+
+    key = os.path.realpath(sf_dir)
+    cents = _ivf_model_cache.get(key)
+    if cents is None and model_path is not None:
+        try:
+            cents = load_ivf_model(spark, model_path)
+        except Exception:
+            cents = None
+    if cents is None:
+        cents = ivf_train_centroids(spark, sf_dir)
+        if model_path is not None:
+            save_ivf_model(spark, cents, model_path)
+    _ivf_model_cache[key] = cents
+    return cents
+
+
+def emb_ivf_ann(spark: SparkSession, sf_dir: str,
+                nprobe: int = IVF_NPROBE,
+                model_path: str | None = None) -> DataFrame:
     """IVF approximate NN — the second scale path next to the LSH one:
     vectors are bucketed by nearest coarse centroid (inverted file), a
-    query probes its IVF_NPROBE nearest cells, and the exact left-fold
+    query probes its ``nprobe`` nearest cells, and the exact left-fold
     cosine re-ranks candidates only. The candidate join is an equi-join
     on cell id; candidates per query ~ nprobe * n / K, independent of
-    how the corpus grows if K grows with it (K ~ sqrt(n) rule)."""
-    cents = ivf_train_centroids(spark, sf_dir)
+    how the corpus grows if K grows with it (K ~ sqrt(n) rule). The
+    model comes from ``ivf_model`` (load-or-train, memoized) — no Lloyd
+    pass on the query path."""
+    cents = ivf_model(spark, sf_dir, model_path=model_path)
+    k_eff = cents.shape[0]
+    nprobe = min(nprobe, k_eff)
     e = load(spark, sf_dir, "embeddings")
     data = e.withColumn("cell", _ivf_assign_udf(cents)("embedding")).select(
         F.col("vec_id"), F.col("embedding"), "cell")
@@ -298,7 +382,7 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nprobe best cells, ties to lower id: sort by (-cos, cell)
         order = np.lexsort((np.arange(cos.shape[1])[None, :]
                             .repeat(len(m), 0), -cos), axis=1)
-        return pd.Series(list(order[:, :IVF_NPROBE].astype("int32")))
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
 
     q = (e.filter(F.col("vec_id") < N_QUERIES)
          .withColumn("cells", probe_cells("embedding"))

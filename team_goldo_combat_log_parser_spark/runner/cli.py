@@ -30,7 +30,8 @@ from .checkpoint import Manifest, filter_unprocessed
 
 
 def gc_orphan_commits(spark: SparkSession, output: str,
-                      manifest: Manifest) -> list[str]:
+                      manifest: Manifest,
+                      allow_gc_all: bool = False) -> list[str]:
     """Delete commit=* directories not referenced by any manifest record.
 
     The deterministic commit id makes a same-source-set replay overwrite
@@ -43,7 +44,16 @@ def gc_orphan_commits(spark: SparkSession, output: str,
     the Hadoop FileSystem API so the same code handles s3a/hdfs/file
     outputs on a real cluster. Iceberg outputs need no GC — the catalog
     only exposes committed snapshots, and the replay's per-commit
-    overwrite replaces any earlier rows of the same commit atomically."""
+    overwrite replaces any earlier rows of the same commit atomically.
+
+    Misconfiguration guard: with an EMPTY manifest (fresh or mislocated
+    --checkpoint) every commit dir looks like an orphan, and since the
+    manifest exists precisely so processed inputs can be pruned, deleting
+    them could be unrecoverable. A legitimate empty-manifest state has at
+    most ONE orphan (a first run that crashed mid-write); seeing committed
+    data under an empty manifest means the checkpoint doesn't match the
+    output, so refuse loudly and make the operator pass
+    ``allow_gc_all=True`` (--force-gc) after checking the paths."""
     if output.startswith("iceberg:"):
         return []
     jvm = spark._jvm
@@ -52,7 +62,7 @@ def gc_orphan_commits(spark: SparkSession, output: str,
     if not fs.exists(root):
         return []
     valid = {rec["commit_id"] for rec in manifest.records()}
-    removed: list[str] = []
+    orphans = []
     for tbl in fs.listStatus(root):
         if not tbl.isDirectory():
             continue
@@ -60,8 +70,21 @@ def gc_orphan_commits(spark: SparkSession, output: str,
             name = sub.getPath().getName()
             if name.startswith("commit=") \
                     and name[len("commit="):] not in valid:
-                fs.delete(sub.getPath(), True)
-                removed.append(f"{tbl.getPath().getName()}/{name}")
+                orphans.append((sub.getPath(),
+                                f"{tbl.getPath().getName()}/{name}"))
+    if not valid and orphans and not allow_gc_all:
+        distinct = sorted({p.getName() for p, _ in orphans})
+        if len(distinct) > 1:
+            raise RuntimeError(
+                f"refusing to GC: manifest at this checkpoint has no "
+                f"records but {output} holds {len(distinct)} distinct "
+                f"commit ids {distinct[:5]} — is --checkpoint pointing at "
+                "the wrong directory? Re-run with --force-gc to delete "
+                "them anyway.")
+    removed: list[str] = []
+    for path, label in orphans:
+        fs.delete(path, True)
+        removed.append(label)
     return sorted(removed)
 
 
@@ -111,11 +134,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--force-gc", action="store_true",
+                    help="allow orphan-commit GC even when the manifest is "
+                         "empty but the output dir holds committed data "
+                         "(normally refused as a misconfiguration guard)")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("goldo-pipeline").getOrCreate()
     manifest = Manifest(args.checkpoint)
-    gc_removed = gc_orphan_commits(spark, args.output, manifest)
+    gc_removed = gc_orphan_commits(spark, args.output, manifest,
+                                   allow_gc_all=args.force_gc)
 
     tokens = read_tokens(spark, args.input)
     todo = filter_unprocessed(tokens, manifest)

@@ -215,8 +215,11 @@ def _fold(st: dict, r) -> dict | None:
         # instead of crashing the stream on one malformed line.
         m = re.search(r"<([^>]*)>", amt)
         # fullmatch (not bare int()): Python int accepts '4_5' underscores
-        # that a Spark cast rejects — keep the two paths' domains identical
-        if m and re.fullmatch(r"\s*[+-]?\d+\s*", m.group(1)):
+        # that a Spark cast rejects — keep the two paths' domains identical.
+        # ASCII classes, not \s/\d: Python's are Unicode-aware (U+00A0,
+        # Arabic-Indic digits...) while Spark's string->int cast trims only
+        # ASCII whitespace and accepts only ASCII digits
+        if m and re.fullmatch(r"[ \t\r\n]*[+-]?[0-9]+[ \t\r\n]*", m.group(1)):
             st["threat"] += int(m.group(1))
     return out
 
@@ -278,20 +281,36 @@ def _make_reorder_fn(max_buffer: int):
         buf = {int(k): v for k, v in st.pop("_buf", {}).items()}
         next_line = st.pop("_next", 0)
         done: list[dict] = []
+
+        def drain() -> None:
+            nonlocal next_line
+            while next_line in buf:
+                row = _BufRow(*buf.pop(next_line))
+                pull = _fold(st, row)
+                if pull:
+                    pull["log_id"] = log_id
+                    done.append(pull)
+                next_line += 1
+
         for pdf in pdfs:
             for r in pdf[_ROW_FIELDS].itertuples(index=False):
-                buf[int(r.line_no)] = [int(r.line_no), *r[1:]]
-        if len(buf) > max_buffer:
-            raise RuntimeError(
-                f"reorder buffer for {log_id} exceeds {max_buffer} "
-                f"rows waiting on line {next_line} — line lost upstream?")
-        while next_line in buf:
-            r = _BufRow(*buf.pop(next_line))
-            pull = _fold(st, r)
-            if pull:
-                pull["log_id"] = log_id
-                done.append(pull)
-            next_line += 1
+                ln = int(r.line_no)
+                if ln < next_line:
+                    # already delivered to the parser — an at-least-once
+                    # source replaying a row; keeping it would park it in
+                    # the buffer forever and eventually trip the bound
+                    continue
+                buf[ln] = [ln, *r[1:]]
+                # drain incrementally: in-order rows flow straight through
+                # the parser, so only rows genuinely ahead of a gap occupy
+                # memory and only THOSE count against the bound — a fully
+                # in-order batch larger than max_buffer is fine
+                drain()
+                if len(buf) > max_buffer:
+                    raise RuntimeError(
+                        f"reorder buffer for {log_id} exceeds {max_buffer} "
+                        f"rows waiting on line {next_line} — line lost "
+                        "upstream?")
         st["_buf"] = {str(k): v for k, v in buf.items()}
         st["_next"] = next_line
         state.update((json.dumps(st),))

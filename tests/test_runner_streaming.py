@@ -407,3 +407,137 @@ def test_streaming_reorder_buffer_bound_fires(spark, tmp_path):
         run_stream_once(spark, str(tmp_path / "in"), str(tmp_path / "ck"),
                         output_dir=str(tmp_path / "out"),
                         reorder=True, reorder_max_buffer=10)
+
+
+def test_streaming_reorder_inorder_batch_larger_than_bound(spark, tmp_path):
+    """ADVICE r4 (medium): a fully IN-ORDER backlog larger than
+    max_buffer must NOT trip the lost-line error — rows drain
+    incrementally during ingest, so only rows genuinely waiting behind a
+    gap count against the bound (and occupy memory)."""
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=1,
+                                       rows_per_fight=40, seed=29))[0]
+    rows = corpus_rows([log])
+    assert len(rows) > 10
+    (spark.createDataFrame(rows, schema=TOKEN_TABLE_SCHEMA)
+     .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in")))
+    got = run_stream_once(spark, str(tmp_path / "in"), str(tmp_path / "ck"),
+                          output_dir=str(tmp_path / "out"),
+                          reorder=True, reorder_max_buffer=10).collect()
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    want = {r["fight_seq"]: r["total_damage"] for r in batch.pulls.collect()}
+    assert {r["fight_seq"]: r["total_damage"] for r in got} == want
+
+
+def test_streaming_reorder_drops_replayed_duplicates(spark, tmp_path):
+    """An at-least-once source redelivering already-processed lines must
+    neither double-count them nor park them in the buffer forever (where
+    they would eventually trip the bound): rows below the delivery
+    watermark are dropped on ingest."""
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=2,
+                                       rows_per_fight=50, seed=31))[0]
+    rows = corpus_rows([log])
+    cut = len(rows) // 2
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_part(part_rows, mode):
+        (spark.createDataFrame(part_rows, schema=TOKEN_TABLE_SCHEMA)
+         .coalesce(1).write.mode(mode).parquet(in_dir))
+
+    write_part(rows[:cut], "overwrite")
+    run_stream_once(spark, in_dir, ck, output_dir=out,
+                    reorder=True, reorder_max_buffer=20).collect()
+    # replay a chunk of already-delivered lines alongside the remainder
+    write_part(rows[cut - 15:], "append")
+    r_all = run_stream_once(spark, in_dir, ck, output_dir=out,
+                            reorder=True, reorder_max_buffer=20).collect()
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    want = {r["fight_seq"]: r["total_damage"] for r in batch.pulls.collect()}
+    got = {r["fight_seq"]: r["total_damage"] for r in r_all}
+    assert got == want, (got, want)
+
+
+def test_streaming_reorder_restart_with_buffered_rows(spark, tmp_path):
+    """VERDICT r4 item 3, the pointed restart shape: batch 2 of 3 is
+    missing a gap line, the query STOPS with rows waiting in _buf (state
+    checkpointed), and the restarted query delivers the gap — pulls must
+    match the ordered run exactly, proving the buffer itself survives
+    checkpoint round-trips."""
+    from team_goldo_combat_log_parser_spark.constants import ENTER_COMBAT
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=3,
+                                       rows_per_fight=40, seed=37))[0]
+    rows = corpus_rows([log])
+    second_enter = [i for i, ln in enumerate(log[1])
+                    if ENTER_COMBAT in ln][1]
+    prefix_end = second_enter + 3   # fight 1 closed, fight 2 open
+    gap_start, gap_end = prefix_end + 4, prefix_end + 9
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_part(part_rows, mode):
+        (spark.createDataFrame(part_rows, schema=TOKEN_TABLE_SCHEMA)
+         .coalesce(1).write.mode(mode).parquet(in_dir))
+
+    write_part(rows[:prefix_end], "overwrite")
+    r1 = run_stream_once(spark, in_dir, ck, output_dir=out,
+                         reorder=True).collect()
+    assert {r["fight_seq"] for r in r1} == {1}
+    # batch 2 of 3: everything after the prefix EXCEPT the gap lines —
+    # fights 2 and 3 cannot close; their rows wait in the buffer
+    write_part(rows[prefix_end:gap_start] + rows[gap_end:], "append")
+    r2 = run_stream_once(spark, in_dir, ck, output_dir=out,
+                         reorder=True).collect()
+    assert {r["fight_seq"] for r in r2} == {1}  # nothing new emitted
+    # restart 3: the gap arrives; buffered rows must drain from restored
+    # state and close fights 2 and 3
+    write_part(rows[gap_start:gap_end], "append")
+    r3 = run_stream_once(spark, in_dir, ck, output_dir=out,
+                         reorder=True).collect()
+    batch = run_pipeline(spark, dg.token_df(spark, [log]), cache=False)
+    want = {r["fight_seq"]: r["total_damage"] for r in batch.pulls.collect()}
+    got = {r["fight_seq"]: r["total_damage"] for r in r3}
+    assert got == want and set(want) == {1, 2, 3}, (got, want)
+
+
+def test_gc_refuses_empty_manifest_with_committed_data(spark, tmp_path):
+    """ADVICE r4 (medium): an EMPTY manifest (fresh or mislocated
+    --checkpoint) over an output dir holding multiple commits is a
+    misconfiguration, not a GC opportunity — refuse loudly unless forced.
+    A single orphan commit (the legitimate crashed-first-run shape) is
+    still GC'd."""
+    import pytest as _pytest
+
+    from team_goldo_combat_log_parser_spark.runner.cli import (
+        gc_orphan_commits)
+
+    out = tmp_path / "out"
+    for table in ("pulls", "sink_damage"):
+        for cid in ("c111", "c222"):
+            d = out / table / f"commit={cid}" / "log_date=2012-08-01"
+            d.mkdir(parents=True)
+            (d / "part-0.parquet").write_bytes(b"x")
+    empty = Manifest(str(tmp_path / "fresh_ckpt"))
+    with _pytest.raises(RuntimeError, match="refusing to GC"):
+        gc_orphan_commits(spark, str(out), empty)
+    # nothing was deleted by the refusal
+    assert (out / "pulls" / "commit=c111").exists()
+    assert (out / "pulls" / "commit=c222").exists()
+    # forced: the operator confirmed the paths — full GC proceeds
+    removed = gc_orphan_commits(spark, str(out), empty, allow_gc_all=True)
+    assert len(removed) == 4
+    # single-orphan shape (crashed first run, new sources arrived): GC'd
+    # without a flag so the dup window stays closed
+    d = out / "pulls" / "commit=c333" / "log_date=2012-08-01"
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x")
+    assert gc_orphan_commits(spark, str(out), Manifest(
+        str(tmp_path / "fresh_ckpt2"))) == ["pulls/commit=c333"]

@@ -298,3 +298,125 @@ def test_bpe_regex_cross_engine_random_strings(spark):
         want = list(ddb.sql(
             f"SELECT regexp_extract_all('{esc}', '{pat}')").fetchone()[0])
         assert got[i] == want, (i, repr(t), got[i], want)
+
+
+# --------------------------------------------------- round-5 IVF + near-dup
+
+
+def _write_embeddings(path, ids, mat):
+    """Single-file embeddings.parquet matching the datagen schema
+    (vec_id int, embedding array<float>, label int)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "vec_id": pa.array([int(i) for i in ids], pa.int32()),
+        "embedding": pa.array([[float(x) for x in row] for row in mat],
+                              pa.list_(pa.float32())),
+        "label": pa.array([int(i) % 10 for i in ids], pa.int32()),
+    })
+    pq.write_table(tbl, path)
+
+
+def test_ivf_model_trains_once_and_serves_from_parquet(spark, sf001,
+                                                       tmp_path):
+    """Train/serve split: two queries = one Lloyd training (in-memory
+    memo), and a persisted parquet model serves with ZERO trainings."""
+    import os
+
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+
+    sim._ivf_model_cache.clear()
+    n0 = sim._ivf_train_stats["train_runs"]
+    a = sim.emb_ivf_ann(spark, sf001).collect()
+    b = sim.emb_ivf_ann(spark, sf001).collect()
+    assert sim._ivf_train_stats["train_runs"] == n0 + 1
+    assert a == b
+    mp = str(tmp_path / "ivf_model")
+    sim.save_ivf_model(spark, sim._ivf_model_cache[os.path.realpath(sf001)],
+                       mp)
+    sim._ivf_model_cache.clear()
+    c = sim.emb_ivf_ann(spark, sf001, model_path=mp).collect()
+    assert sim._ivf_train_stats["train_runs"] == n0 + 1  # loaded, not trained
+    assert c == a
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf001):
+    """More probed cells => recall vs brute force must not drop, and
+    probing every cell must recover (nearly) the exact result — the
+    measured recall-vs-nprobe curve, not just the single default point."""
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        IVF_K, TOP_K, emb_cosine_topk, emb_ivf_ann)
+
+    exact = {}
+    for r in emb_cosine_topk(spark, sf001).collect():
+        exact.setdefault(r["qid"], set()).add(r["neighbor_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in emb_ivf_ann(spark, sf001, nprobe=nprobe).collect():
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        rs = [len(got.get(q, set()) & exact[q]) / TOP_K for q in exact]
+        return sum(rs) / len(rs)
+
+    r1, r4, rall = recall(1), recall(4), recall(IVF_K)
+    assert r1 <= r4 + 1e-9 and r4 <= rall + 1e-9, (r1, r4, rall)
+    # all cells probed == every candidate scored: exact modulo double-vs-
+    # decimal scoring ties
+    assert rall >= 0.95, rall
+
+
+def test_ivf_small_gapped_corpus_matches_oracle(spark, tmp_path):
+    """Round-4 advice: n < IVF_K with non-contiguous vec_ids must not
+    KeyError in stride seeding — engine and sequential oracle agree."""
+    import duckdb as ddb
+
+    from team_goldo_combat_log_parser_spark.golden.sketch_oracle import (
+        ivf_ann_sql)
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    ids = [0, 3, 5, 11, 17, 40, 41]
+    mat = rng.normal(size=(len(ids), 64))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    _write_embeddings(str(d / "embeddings.parquet"), ids, mat)
+    sim._ivf_model_cache.clear()
+    got = [(r["qid"], r["rank"], r["neighbor_id"], r["cosine_e6"])
+           for r in sim.emb_ivf_ann(spark, str(d)).collect()]
+    want = [tuple(r) for r in ddb.sql(ivf_ann_sql(str(d))).fetchall()]
+    assert got == want and len(got) > 0
+    sim._ivf_model_cache.clear()
+
+
+def test_near_dup_planted_recall_at_production_threshold(spark, tmp_path):
+    """VERDICT r4 item 4: plant true near-duplicates (cos ~0.99) among
+    random vectors and measure emb_cosine_near_dup(threshold=0.9) recall
+    against the brute-force >=0.9 pair set — the banding-curve recall
+    claim as a number, not an argument."""
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        emb_cosine_near_dup)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(200, 64))
+    dup = base[:30] + 0.15 * rng.normal(size=(30, 64))  # cos ~ 0.99
+    mat = np.vstack([base, dup])
+    ids = list(range(len(mat)))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    _write_embeddings(str(d / "embeddings.parquet"), ids, mat)
+
+    # ground truth over the float32-stored values, like the engine sees
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(m32, axis=1)
+    truth = {(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if (m32[i] @ m32[j]) / (norms[i] * norms[j]) >= 0.9}
+    assert len(truth) >= 30  # the plant worked
+
+    got = {(r["a"], r["b"])
+           for r in emb_cosine_near_dup(spark, str(d),
+                                        threshold=0.9).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, (recall, len(truth), len(got))
+    # precision is 1.0 by construction (exact rescore >= threshold)
+    assert got <= truth
