@@ -150,7 +150,12 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
                         F.col("pull_start").cast("timestamp"),
                         "Europe/Paris"),
                     "yyyy-MM-dd HH:mm:ss.SSS").alias("pull_start_paris"),
-                "target", "n_players", "total_damage", "duration_s"),
+                "target", "n_players", "total_damage", "duration_s")
+            # the reference's order_by(-start) lives IN the plan (a Sort
+            # the engine can push to a TopK at scale), not in driver
+            # Python; log_id/fight_seq break start-time ties stably
+            .orderBy(F.desc("pull_start_paris"), F.desc("log_id"),
+                     F.desc("fight_seq")),
             # E3 composite: the /chart/<id> page (main.py:375-557) — point
             # lookup of ONE pull, from_json decode of its data blob, all
             # nine gviz tables assembled from the DECODED struct (the read
@@ -175,6 +180,8 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
         out = frames[which]()
         if "section" in out.columns:
             return out  # chart frame carries its own total order
+        if "pull_start_paris" in out.columns:
+            return out  # results frame: pull_start DESC is part of the plan
         order = [c for c in ("log_id", "fight_seq", "player", "skill",
                              "attacker", "healer", "school") if c in out.columns]
         return out.orderBy(*order) if order else out

@@ -103,11 +103,12 @@ _RESULTS_COLS = [
 
 def results_table(results_df: DataFrame) -> dict:
     """The /results listing (main.py:333-371) as a gviz DataTable dict:
-    one row per pull, ordered pull_start_time DESC (the reference's
-    order_by), pull_id = '<log_id>#<fight_seq>' standing in for the
-    Datastore entity id."""
+    one row per pull, pull_id = '<log_id>#<fight_seq>' standing in for
+    the Datastore entity id. The pull_start_time DESC order (the
+    reference's order_by) is part of the ``combat_results`` PLAN — a
+    Sort the engine can run distributed / push into a TopK — so this
+    renderer only formats, never re-sorts."""
     rows = [r.asDict() for r in results_df.collect()]
-    rows.sort(key=lambda r: r["pull_start_paris"], reverse=True)
     mapped = [
         {"pull_start_time": r["pull_start_paris"],
          "pull_target": r["target"],

@@ -278,7 +278,16 @@ def _make_reorder_fn(max_buffer: int):
             st = {"in_combat": False, "player": None, "healer": None,
                   "seq": 0, "start": None, "target": None, "dmg": 0,
                   "heal": 0, "threat": 0}
-        buf = {int(k): v for k, v in st.pop("_buf", {}).items()}
+        raw_buf = st.pop("_buf", [])
+        if isinstance(raw_buf, dict):
+            # pre-round-5 checkpoint blob: {str(line_no): row}
+            buf = {int(k): v for k, v in raw_buf.items()}
+        else:
+            # compact encoding: a bare row list — line_no is row[0], so
+            # the dict keys (and their str() copies) never hit the blob;
+            # ~30% off encode+decode at the 100k bound (measured in
+            # SCALE.md "Reorder-buffer state cost")
+            buf = {int(v[0]): v for v in raw_buf}
         next_line = st.pop("_next", 0)
         done: list[dict] = []
 
@@ -311,7 +320,7 @@ def _make_reorder_fn(max_buffer: int):
                         f"reorder buffer for {log_id} exceeds {max_buffer} "
                         f"rows waiting on line {next_line} — line lost "
                         "upstream?")
-        st["_buf"] = {str(k): v for k, v in buf.items()}
+        st["_buf"] = list(buf.values())
         st["_next"] = next_line
         state.update((json.dumps(st),))
         if done:
@@ -336,11 +345,52 @@ def stream_pulls(tokens_stream: DataFrame, reorder: bool = False,
         "append", GroupStateTimeout.NoTimeout)
 
 
+def stream_batch_metrics(query) -> list[dict]:
+    """Per-batch ops metrics from a streaming query's progress log: rows
+    in, pulls out (the ``goldo_pulls`` observation attached by
+    ``run_stream_once``), state-store row counts, and trigger latency —
+    the numbers a production deployment alerts on."""
+    rows = []
+    for p in query.recentProgress:
+        # always via the JSON form: the live object holds Row values
+        # (no .get) inside observedMetrics; the JSON is plain dicts
+        d = json.loads(p.json) if hasattr(p, "json") else p
+        om = (d.get("observedMetrics") or {}).get("goldo_pulls", {})
+        so = d.get("stateOperators") or []
+        rows.append({
+            "batch_id": d.get("batchId"),
+            "rows_in": int(d.get("numInputRows") or 0),
+            "pulls_out": int((om or {}).get("pulls_out") or 0),
+            "state_rows": sum(int(s.get("numRowsTotal") or 0) for s in so),
+            "state_rows_updated": sum(int(s.get("numRowsUpdated") or 0)
+                                      for s in so),
+            "trigger_ms": (d.get("durationMs") or {}).get("triggerExecution"),
+        })
+    return rows
+
+
+def reorder_buffer_depths(spark, checkpoint_dir: str) -> dict[str, int]:
+    """Per-log undrained-row count (reorder mode), read from the
+    checkpointed state via Spark's ``statestore`` reader — the
+    observability hook for "how far behind is each log's gap?" without
+    touching a running query. Empty dict for non-reorder checkpoints
+    (no ``_buf`` in the blob)."""
+    df = spark.read.format("statestore").load(checkpoint_dir)
+    out: dict[str, int] = {}
+    for r in df.select("key", "value").collect():
+        st = json.loads(r["value"]["groupState"]["blob"])
+        if "_buf" in st:
+            buf = st["_buf"]
+            out[r["key"]["log_id"]] = len(buf)
+    return out
+
+
 def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
                     query_name: str = "pulls_stream",
                     output_dir: str | None = None,
                     reorder: bool = False,
-                    reorder_max_buffer: int = REORDER_MAX_BUFFER) -> DataFrame:
+                    reorder_max_buffer: int = REORDER_MAX_BUFFER,
+                    metrics: list | None = None) -> DataFrame:
     """Drive the stream over all currently-available input (availableNow
     trigger). Default sink is memory (smoke path; NOT checkpoint-
     recoverable). Pass ``output_dir`` for a parquet sink — the deployable
@@ -352,15 +402,23 @@ def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
     stream = spark.readStream.schema(schema).parquet(input_dir)
     pulls = stream_pulls(stream, reorder=reorder,
                          reorder_max_buffer=reorder_max_buffer)
+    # observed metric rides each micro-batch's progress event — no extra
+    # action, no second pass (pass ``metrics=[]`` to receive them)
+    pulls = pulls.observe("goldo_pulls",
+                          F.count(F.lit(1)).alias("pulls_out"))
     if output_dir is not None:
         q = (pulls.writeStream.outputMode("append").format("parquet")
              .option("path", output_dir)
              .option("checkpointLocation", checkpoint_dir)
              .trigger(availableNow=True).start())
         q.awaitTermination()
+        if metrics is not None:
+            metrics.extend(stream_batch_metrics(q))
         return spark.read.parquet(output_dir)
     q = (pulls.writeStream.outputMode("append").format("memory")
          .queryName(query_name).option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    if metrics is not None:
+        metrics.extend(stream_batch_metrics(q))
     return spark.sql(f"SELECT * FROM {query_name}")

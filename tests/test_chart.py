@@ -73,3 +73,13 @@ def test_results_listing_gviz(spark):
     starts = [r["c"][0]["v"] for r in tbl["rows"]]
     assert starts == sorted(starts, reverse=True) and len(starts) >= 2
     assert all("#" in r["c"][5]["v"] for r in tbl["rows"])
+    # VERDICT r4 item 6: the DESC sort lives in the engine plan (visible
+    # as a Sort node), not in results_table's Python
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Sort" in plan and "pull_start_paris" in plan, plan

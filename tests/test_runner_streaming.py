@@ -541,3 +541,46 @@ def test_gc_refuses_empty_manifest_with_committed_data(spark, tmp_path):
     (d / "part-0.parquet").write_bytes(b"x")
     assert gc_orphan_commits(spark, str(out), Manifest(
         str(tmp_path / "fresh_ckpt2"))) == ["pulls/commit=c333"]
+
+
+def test_streaming_observability_metrics(spark, tmp_path):
+    """VERDICT r4 item 8: the ops surface — per-batch progress metrics
+    (rows in, pulls out via the goldo_pulls observation, state rows,
+    trigger latency) from run_stream_once, and per-log reorder-buffer
+    depth read back from the checkpointed state store."""
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        TOKEN_TABLE_SCHEMA, corpus_rows)
+    from team_goldo_combat_log_parser_spark.streaming.stream_pipeline import (
+        reorder_buffer_depths)
+
+    log = dg.synth_corpus(dg.GenConfig(n_logs=1, fights_per_log=2,
+                                       rows_per_fight=40, seed=41))[0]
+    rows = corpus_rows([log])
+    gap_start, gap_end = 10, 14  # lines 10..13 withheld
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    (spark.createDataFrame(rows[:gap_start] + rows[gap_end:],
+                           schema=TOKEN_TABLE_SCHEMA)
+     .coalesce(1).write.mode("overwrite").parquet(in_dir))
+    m1: list = []
+    run_stream_once(spark, in_dir, ck, output_dir=out, reorder=True,
+                    metrics=m1).collect()
+    assert sum(b["rows_in"] for b in m1) == len(rows) - (gap_end - gap_start)
+    assert sum(b["pulls_out"] for b in m1) == 0  # gap: nothing closed
+    assert all(b["trigger_ms"] is not None for b in m1)
+    assert max(b["state_rows"] for b in m1) == 1  # one log in state
+    # buffer depth from the checkpointed state: everything past the gap
+    # is waiting
+    log_id = log[0].removesuffix(".txt")
+    depths = reorder_buffer_depths(spark, ck)
+    assert depths == {log_id: len(rows) - gap_end}
+    # deliver the gap: metrics show the drain and the buffer empties
+    (spark.createDataFrame(rows[gap_start:gap_end],
+                           schema=TOKEN_TABLE_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(in_dir))
+    m2: list = []
+    run_stream_once(spark, in_dir, ck, output_dir=out, reorder=True,
+                    metrics=m2).collect()
+    assert sum(b["rows_in"] for b in m2) == gap_end - gap_start
+    assert sum(b["pulls_out"] for b in m2) == 2  # both fights closed
+    assert reorder_buffer_depths(spark, ck) == {log_id: 0}
