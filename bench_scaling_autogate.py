@@ -54,6 +54,12 @@ DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_DEADLINE_MIN",
                                     "200"))
 SLEEP_S = float(os.environ.get("SPARK_GRAFT_AUTOGATE_SLEEP", "90"))
 ROUNDS = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUNDS", "2")
+# Phase 1 hunts a STRICT window (canary + bandwidth) for the raw >= 0.8
+# shot; if none appears within this budget, phase 2 drops the bandwidth
+# precondition (canary-only) so gated campaigns — the fallback
+# conversion-vs-attainable evidence, with in-run bw probes — still
+# accumulate on a host that never grants clean bandwidth.
+STRICT_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_STRICT_MIN", "60"))
 
 
 def log(msg: str) -> None:
@@ -120,15 +126,19 @@ def main() -> int:
             return 2
         p = probe()
         best_cap = max(best_cap, p["canary_mips"])
-        quiet = (p["canary_mips"] >= GATE_FRAC * best_cap
-                 and p["bw1_gbps"] >= BW1_MIN
-                 and p["bw_ratio"] >= BWR_MIN)
-        log(f"probe: {p} best_cap={best_cap:.0f} quiet={quiet}")
+        strict = time.time() < t_end - (DEADLINE_MIN - STRICT_MIN) * 60
+        cpu_ok = p["canary_mips"] >= GATE_FRAC * best_cap
+        bw_ok = (p["bw1_gbps"] >= BW1_MIN and p["bw_ratio"] >= BWR_MIN)
+        quiet = cpu_ok and (bw_ok or not strict)
+        log(f"probe: {p} best_cap={best_cap:.0f} strict={strict} "
+            f"quiet={quiet}")
         if not quiet:
             append_md(f"* probe {datetime.datetime.now():%H:%M} — "
                       f"canary {p['canary_mips']} M/s (best {best_cap:.0f}),"
                       f" bw {p['bw1_gbps']}->{p['bw4_gbps']} GB/s"
-                      f" (x{p['bw_ratio']}): NOT quiet, waiting\n")
+                      f" (x{p['bw_ratio']}): NOT quiet "
+                      f"({'strict' if strict else 'canary-only'} phase), "
+                      f"waiting\n")
             time.sleep(SLEEP_S)
             continue
         attempt += 1
