@@ -136,16 +136,29 @@ if __name__ == "__main__":
 """
 
 
-def bw_at(width: int) -> float:
+def bw_at(width: int, tries: int = 3) -> float:
     """Deliverable memory bandwidth (GB/s) at `width` concurrent streams,
     measured in a clean subprocess with NO Spark JVMs alive (measuring it
     while executors linger reads garbage). This box saturates at ~130-165
     GB/s total for any width >= 4 — the physical ceiling a byte-streaming
     job sees when scaling cores on ONE box (a real cluster adds a memory
-    bus per node)."""
-    out = subprocess.run([sys.executable, "-c", BW_PROBE, str(width)],
-                         capture_output=True, text=True, timeout=300)
-    return json.loads(out.stdout.strip().splitlines()[-1])["bw_gbps"]
+    bus per node).
+
+    Sanity-retry (round 5): the probe occasionally reads two-orders-low
+    transients (0.1-3 GB/s) during neighbor-VM bursts — readings no
+    workload on this box could produce as a steady state. Those would
+    poison the attainable-speedup denominator, so retry up to ``tries``
+    times and keep the best reading; anything >= 10 GB/s is accepted
+    immediately (real readings are 25-165 GB/s at every width)."""
+    best = 0.0
+    for _ in range(tries):
+        out = subprocess.run([sys.executable, "-c", BW_PROBE, str(width)],
+                             capture_output=True, text=True, timeout=300)
+        v = json.loads(out.stdout.strip().splitlines()[-1])["bw_gbps"]
+        best = max(best, v)
+        if best >= 10.0:
+            break
+    return best
 
 
 def run_level(n_exec: int, token_path: str, reps: int = 2) -> dict:

@@ -53,7 +53,13 @@ BWR_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BWR_MIN", "2.3"))
 DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_DEADLINE_MIN",
                                     "200"))
 SLEEP_S = float(os.environ.get("SPARK_GRAFT_AUTOGATE_SLEEP", "90"))
-ROUNDS = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUNDS", "2")
+# 3 ABBA rounds x 1 canary-bracketed rep per level visit (each fresh
+# driver already does a full-volume warm run, so rep 1 IS steady state):
+# pairs sit closer in time than 2x2 and the median spans 3 pairs —
+# attempt 1 showed the 1-exec level catching lucky host windows that a
+# wider, slower campaign cannot average away.
+ROUNDS = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUNDS", "3")
+REPS = os.environ.get("SPARK_GRAFT_AUTOGATE_REPS", "1")
 # Phase 1 hunts a STRICT window (canary + bandwidth) for the raw >= 0.8
 # shot; if none appears within this budget, phase 2 drops the bandwidth
 # precondition (canary-only) so gated campaigns — the fallback
@@ -89,6 +95,7 @@ def run_campaign(md_path: str) -> tuple[dict | None, str]:
         "SPARK_GRAFT_SCALE_CORES_PER_EXEC": "1",
         "SPARK_GRAFT_SCALE_LOGS": "128",
         "SPARK_GRAFT_SCALE_ROUNDS": ROUNDS,
+        "SPARK_GRAFT_SCALE_REPS": REPS,
         "SPARK_GRAFT_CACHE_LINES": "0",
         "SPARK_GRAFT_SCALE_MD": md_path,
     }
