@@ -48,8 +48,12 @@ STOP_FILE = os.environ.get("SPARK_GRAFT_AUTOGATE_STOP",
 
 TARGET = float(os.environ.get("SPARK_GRAFT_AUTOGATE_TARGET", "0.8"))
 GATE_FRAC = float(os.environ.get("SPARK_GRAFT_AUTOGATE_GATE", "0.90"))
-BW1_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BW1_MIN", "24"))
-BWR_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BWR_MIN", "2.3"))
+# gate on what the RAW ratio actually needs: high absolute bandwidth at
+# 4 streams (the wide level must fly) and a high 4v1 growth ratio; a low
+# 1-stream reading is not disqualifying — it lowers the baseline the
+# ratio divides by
+BW4_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BW4_MIN", "55"))
+BWR_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BWR_MIN", "2.6"))
 DEADLINE_MIN = float(os.environ.get("SPARK_GRAFT_AUTOGATE_DEADLINE_MIN",
                                     "200"))
 SLEEP_S = float(os.environ.get("SPARK_GRAFT_AUTOGATE_SLEEP", "90"))
@@ -121,7 +125,7 @@ def main() -> int:
         f" (started {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
         f"Hunter: probe (32-proc canary; memcpy bw at 1/4 streams, no\n"
         f"Spark alive) -> gate (canary >= {GATE_FRAC:.2f}x session-best,"
-        f" bw1 >= {BW1_MIN:.0f} GB/s, bw4/bw1 >= {BWR_MIN})\n"
+        f" bw4 >= {BW4_MIN:.0f} GB/s, bw4/bw1 >= {BWR_MIN})\n"
         f"-> campaign (1v4 one-core executor JVMs, 128-log corpus,\n"
         f"cache_lines=0 — the r3 0.996 configuration, {ROUNDS} ABBA"
         f" paired rounds).\nTarget: gated RAW median >= {TARGET}.\n\n")
@@ -135,7 +139,7 @@ def main() -> int:
         best_cap = max(best_cap, p["canary_mips"])
         strict = time.time() < t_end - (DEADLINE_MIN - STRICT_MIN) * 60
         cpu_ok = p["canary_mips"] >= GATE_FRAC * best_cap
-        bw_ok = (p["bw1_gbps"] >= BW1_MIN and p["bw_ratio"] >= BWR_MIN)
+        bw_ok = (p["bw4_gbps"] >= BW4_MIN and p["bw_ratio"] >= BWR_MIN)
         quiet = cpu_ok and (bw_ok or not strict)
         log(f"probe: {p} best_cap={best_cap:.0f} strict={strict} "
             f"quiet={quiet}")
