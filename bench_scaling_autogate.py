@@ -119,7 +119,11 @@ def run_campaign(md_path: str) -> tuple[dict | None, str]:
 
 def main() -> int:
     t_end = time.time() + DEADLINE_MIN * 60
-    best_cap = max(bs.host_capacity(), bs.host_capacity())
+    # seed the session-best with a known-good capacity reading so a
+    # hunter (re)started during a degraded stretch doesn't mistake the
+    # degradation for the baseline and launch into a bad window
+    floor = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BEST_FLOOR", "0"))
+    best_cap = max(bs.host_capacity(), bs.host_capacity(), floor)
     append_md(
         f"\n\n## Round-5 automated quiet-window campaign log"
         f" (started {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
