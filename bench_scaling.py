@@ -147,18 +147,27 @@ def bw_at(width: int, tries: int = 3) -> float:
     Sanity-retry (round 5): the probe occasionally reads two-orders-low
     transients (0.1-3 GB/s) during neighbor-VM bursts — readings no
     workload on this box could produce as a steady state. Those would
-    poison the attainable-speedup denominator, so retry up to ``tries``
-    times and keep the best reading; anything >= 10 GB/s is accepted
-    immediately (real readings are 25-165 GB/s at every width)."""
-    best = 0.0
+    poison the attainable-speedup denominator. Round-6 (per advice):
+    taking the MAX of the valid readings biased the attainable-speedup
+    denominator upward, so take all ``tries`` readings, drop the
+    transients (< 10 GB/s; real readings are 25-165 GB/s at every
+    width), and return the MEDIAN of the valid ones. The raw readings
+    are kept on ``bw_at.last_readings`` so callers can record the
+    selection in their JSON."""
+    readings: list[float] = []
     for _ in range(tries):
         out = subprocess.run([sys.executable, "-c", BW_PROBE, str(width)],
                              capture_output=True, text=True, timeout=300)
-        v = json.loads(out.stdout.strip().splitlines()[-1])["bw_gbps"]
-        best = max(best, v)
-        if best >= 10.0:
-            break
-    return best
+        readings.append(
+            json.loads(out.stdout.strip().splitlines()[-1])["bw_gbps"])
+    bw_at.last_readings = list(readings)  # type: ignore[attr-defined]
+    valid = sorted(v for v in readings if v >= 10.0)
+    if not valid:
+        return max(readings)
+    mid = len(valid) // 2
+    if len(valid) % 2:
+        return valid[mid]
+    return round((valid[mid - 1] + valid[mid]) / 2.0, 1)
 
 
 def run_level(n_exec: int, token_path: str, reps: int = 2) -> dict:

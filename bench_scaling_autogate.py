@@ -85,9 +85,12 @@ def append_md(text: str) -> None:
 def probe() -> dict:
     cap = bs.host_capacity()
     bw1 = bs.bw_at(1)
+    bw1_raw = list(getattr(bs.bw_at, "last_readings", []))
     bw4 = bs.bw_at(4)
+    bw4_raw = list(getattr(bs.bw_at, "last_readings", []))
     return {"canary_mips": round(cap, 1), "bw1_gbps": bw1,
             "bw4_gbps": bw4,
+            "bw1_readings": bw1_raw, "bw4_readings": bw4_raw,
             "bw_ratio": round(bw4 / bw1, 2) if bw1 else 0.0}
 
 

@@ -349,6 +349,10 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
     dim = m.shape[1]
     mod = max(len(ids) // IVF_TRAIN_TARGET, 1)
     tidx = [i for i in range(len(ids)) if ids[i] % mod == 0]
+    if not tidx:
+        # mirror similarity.ivf_train_centroids: an empty modulus sample
+        # (gapped ids) falls back to the full corpus
+        tidx = list(range(len(ids)))
     tids = [ids[i] for i in tidx]  # ascending (ids is sorted)
     seed_ids = _ivf_seed_ids(tids, IVF_K)
     cents = np.stack([m[ids.index(s)] for s in seed_ids])

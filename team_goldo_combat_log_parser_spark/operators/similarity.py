@@ -277,6 +277,13 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     mod = max(n // IVF_TRAIN_TARGET, 1)
     train = e.filter((F.col("vec_id") % mod) == 0) if mod > 1 else e
     ids = sorted(r["vec_id"] for r in train.select("vec_id").collect())
+    if not ids:
+        # gapped vec_ids can leave the modulus sample empty (e.g. an
+        # all-odd id space with mod > 1) — fall back to the full corpus
+        # rather than crash in _ivf_seed_ids on an empty list (round-6
+        # advice). Deterministic, and the oracle mirrors the fallback.
+        train = e
+        ids = sorted(r["vec_id"] for r in train.select("vec_id").collect())
     seed_ids = _ivf_seed_ids(ids, IVF_K)
     seeds = {r["vec_id"]: r["embedding"]
              for r in train.filter(F.col("vec_id").isin(seed_ids)).collect()}
@@ -326,22 +333,66 @@ def load_ivf_model(spark: SparkSession, model_path: str) -> np.ndarray:
                      for r in rows])
 
 
-def ivf_model(spark: SparkSession, sf_dir: str,
-              model_path: str | None = None) -> np.ndarray:
-    """Load-or-train: in-memory memo per corpus dir, then the persisted
-    parquet model if ``model_path`` is given and readable, then a fresh
-    training run (persisted back to ``model_path`` when given). One
-    train, many queries — ``emb_ivf_ann`` never re-runs Lloyd for a
-    corpus this session."""
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the embeddings corpus (total bytes + max
+    mtime of the parquet file/dir) so the in-memory model memo
+    invalidates when the corpus is regenerated at the same path
+    (round-6 advice — tests previously had to clear the cache by hand
+    around corpus rewrites)."""
     import os
 
-    key = os.path.realpath(sf_dir)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    size, mtime = 0, 0.0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                size += st.st_size
+                mtime = max(mtime, st.st_mtime)
+    elif os.path.exists(path):
+        st = os.stat(path)
+        size, mtime = st.st_size, st.st_mtime
+    return f"{size}:{mtime:.6f}"
+
+
+def _corpus_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    row = (load(spark, sf_dir, "embeddings")
+           .select("embedding").limit(1).collect())
+    return len(row[0]["embedding"]) if row else None
+
+
+def ivf_model(spark: SparkSession, sf_dir: str,
+              model_path: str | None = None) -> np.ndarray:
+    """Load-or-train: in-memory memo per (corpus dir, corpus
+    fingerprint), then the persisted parquet model if ``model_path`` is
+    given, readable, AND shape-valid for this corpus (centroid dim ==
+    embedding dim, cell count <= IVF_K — a model trained on a different
+    corpus would otherwise fail later with an opaque matmul shape error
+    or silently mis-assign cells), then a fresh training run (persisted
+    back to ``model_path`` when given). One train, many queries —
+    ``emb_ivf_ann`` never re-runs Lloyd for a corpus this session."""
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+    key = f"{os.path.realpath(sf_dir)}|{_corpus_fingerprint(sf_dir)}"
     cents = _ivf_model_cache.get(key)
     if cents is None and model_path is not None:
         try:
             cents = load_ivf_model(spark, model_path)
-        except Exception:
+        except Exception as exc:
+            log.warning("IVF model load from %s failed (%s) — retraining",
+                        model_path, exc)
             cents = None
+        if cents is not None:
+            dim = _corpus_dim(spark, sf_dir)
+            if ((dim is not None and cents.shape[1] != dim)
+                    or cents.shape[0] > IVF_K):
+                log.warning(
+                    "IVF model at %s has shape %s but corpus dim is %s "
+                    "(K=%d) — rejecting and retraining",
+                    model_path, cents.shape, dim, IVF_K)
+                cents = None
     if cents is None:
         cents = ivf_train_centroids(spark, sf_dir)
         if model_path is not None:

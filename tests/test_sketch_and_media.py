@@ -322,8 +322,6 @@ def test_ivf_model_trains_once_and_serves_from_parquet(spark, sf001,
                                                        tmp_path):
     """Train/serve split: two queries = one Lloyd training (in-memory
     memo), and a persisted parquet model serves with ZERO trainings."""
-    import os
-
     from team_goldo_combat_log_parser_spark.operators import similarity as sim
 
     sim._ivf_model_cache.clear()
@@ -333,8 +331,8 @@ def test_ivf_model_trains_once_and_serves_from_parquet(spark, sf001,
     assert sim._ivf_train_stats["train_runs"] == n0 + 1
     assert a == b
     mp = str(tmp_path / "ivf_model")
-    sim.save_ivf_model(spark, sim._ivf_model_cache[os.path.realpath(sf001)],
-                       mp)
+    assert len(sim._ivf_model_cache) == 1
+    sim.save_ivf_model(spark, next(iter(sim._ivf_model_cache.values())), mp)
     sim._ivf_model_cache.clear()
     c = sim.emb_ivf_ann(spark, sf001, model_path=mp).collect()
     assert sim._ivf_train_stats["train_runs"] == n0 + 1  # loaded, not trained
@@ -420,3 +418,91 @@ def test_near_dup_planted_recall_at_production_threshold(spark, tmp_path):
     assert recall >= 0.95, (recall, len(truth), len(got))
     # precision is 1.0 by construction (exact rescore >= threshold)
     assert got <= truth
+
+
+def test_ivf_empty_modulus_sample_falls_back_to_full_corpus(
+        spark, tmp_path, monkeypatch):
+    """Round-6 advice: an all-odd id space with mod == 2 leaves the
+    vec_id-modulus training sample EMPTY; training must fall back to the
+    full corpus (engine and oracle in lockstep) instead of raising an
+    opaque IndexError in stride seeding."""
+    import duckdb as ddb
+
+    from team_goldo_combat_log_parser_spark.golden.sketch_oracle import (
+        ivf_ann_sql)
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(13)
+    ids = [2 * i + 1 for i in range(40)]  # all odd
+    mat = rng.normal(size=(len(ids), 16))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    _write_embeddings(str(d / "embeddings.parquet"), ids, mat)
+    # size the sample target so mod == len(ids) // target == 2: the
+    # modulus filter (vec_id % 2 == 0) then matches nothing
+    monkeypatch.setattr(sim, "IVF_TRAIN_TARGET", 20)
+    sim._ivf_model_cache.clear()
+    got = [(r["qid"], r["rank"], r["neighbor_id"], r["cosine_e6"])
+           for r in sim.emb_ivf_ann(spark, str(d)).collect()]
+    want = [tuple(r) for r in ddb.sql(ivf_ann_sql(str(d))).fetchall()]
+    assert got == want and len(got) > 0
+    sim._ivf_model_cache.clear()
+
+
+def test_ivf_model_cache_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """Round-6 advice: regenerating embeddings at the SAME path must not
+    serve stale centroids — the memo key carries a corpus fingerprint
+    (bytes + mtime), so the rewrite triggers a fresh training."""
+    import os
+    import time
+
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(17)
+    ids = list(range(30))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    path = str(d / "embeddings.parquet")
+    _write_embeddings(path, ids, rng.normal(size=(30, 16)))
+    sim._ivf_model_cache.clear()
+    n0 = sim._ivf_train_stats["train_runs"]
+    a = sim.emb_ivf_ann(spark, str(d)).collect()
+    assert sim._ivf_train_stats["train_runs"] == n0 + 1
+    # rewrite the corpus in place — different values, same row count
+    os.remove(path)
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse filesystems
+    _write_embeddings(path, ids, rng.normal(size=(30, 16)))
+    b = sim.emb_ivf_ann(spark, str(d)).collect()
+    assert sim._ivf_train_stats["train_runs"] == n0 + 2  # retrained
+    assert a != b  # new corpus, new answers — not the stale model
+    sim._ivf_model_cache.clear()
+
+
+def test_ivf_rejects_model_trained_on_wrong_corpus(spark, tmp_path):
+    """Round-6 advice: a model_path that LOADS fine but was trained on a
+    different corpus (wrong embedding dim) must be rejected up front and
+    retrained — not used as-is to fail later inside a matmul."""
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(19)
+    d16 = tmp_path / "c16"
+    d64 = tmp_path / "c64"
+    d16.mkdir()
+    d64.mkdir()
+    _write_embeddings(str(d16 / "embeddings.parquet"), list(range(30)),
+                      rng.normal(size=(30, 16)))
+    _write_embeddings(str(d64 / "embeddings.parquet"), list(range(30)),
+                      rng.normal(size=(30, 64)))
+    sim._ivf_model_cache.clear()
+    mp = str(tmp_path / "model16")
+    sim.emb_ivf_ann(spark, str(d16), model_path=mp).collect()  # persists 16-dim
+    sim._ivf_model_cache.clear()
+    n0 = sim._ivf_train_stats["train_runs"]
+    want = [tuple(r) for r in sim.emb_ivf_ann(spark, str(d64)).collect()]
+    sim._ivf_model_cache.clear()
+    # wrong-dim model on disk: must retrain and match the fresh result
+    got = [tuple(r)
+           for r in sim.emb_ivf_ann(spark, str(d64), model_path=mp).collect()]
+    assert sim._ivf_train_stats["train_runs"] == n0 + 2
+    assert got == want
+    sim._ivf_model_cache.clear()
