@@ -584,3 +584,48 @@ def test_streaming_observability_metrics(spark, tmp_path):
     assert sum(b["rows_in"] for b in m2) == gap_end - gap_start
     assert sum(b["pulls_out"] for b in m2) == 2  # both fights closed
     assert reorder_buffer_depths(spark, ck) == {log_id: 0}
+
+
+def test_streaming_push_listener_metrics(spark, tmp_path):
+    """Round-6: push-based metrics — a StreamingQueryListener receives
+    every progress event as it is emitted (no bounded recentProgress
+    window to fall out of) and shapes it identically to the pull path,
+    plus started/terminated lifecycle events."""
+    import time
+
+    from team_goldo_combat_log_parser_spark.streaming.stream_pipeline import (
+        GoldoMetricsListener)
+
+    logs = dg.synth_corpus(dg.GenConfig(n_logs=2, fights_per_log=2,
+                                        rows_per_fight=30, seed=43))
+    dg.write_token_table(spark, logs, str(tmp_path / "tokens"), 2)
+
+    pulled: list = []
+    with GoldoMetricsListener(spark) as lis:
+        got = run_stream_once(spark, str(tmp_path / "tokens"),
+                              str(tmp_path / "ck"),
+                              query_name="push_metrics_stream",
+                              metrics=pulled)
+        n_pulls = got.count()
+        # listener events are delivered asynchronously on the driver's
+        # listener bus — give it a moment to drain
+        for _ in range(100):
+            if any(k == "terminated" for k, _ in lis.events):
+                break
+            time.sleep(0.1)
+
+    assert ("started", "push_metrics_stream") in lis.events
+    assert any(k == "terminated" for k, _ in lis.events)
+    # the push path saw the same batches as the pull path, same shape
+    assert len(lis.metrics) == len(pulled) >= 1
+    assert sum(m["pulls_out"] for m in lis.metrics) == n_pulls == 4
+    assert sum(m["rows_in"] for m in lis.metrics) == sum(
+        m["rows_in"] for m in pulled)
+    keys = {"batch_id", "rows_in", "pulls_out", "state_rows",
+            "state_rows_updated", "trigger_ms"}
+    assert all(set(m) == keys for m in lis.metrics)
+    # detached on exit: a later query must not reach this listener
+    n_before = len(lis.metrics)
+    run_stream_once(spark, str(tmp_path / "tokens"), str(tmp_path / "ck2"),
+                    query_name="push_metrics_stream2")
+    assert len(lis.metrics) == n_before
