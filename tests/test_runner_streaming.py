@@ -629,3 +629,47 @@ def test_streaming_push_listener_metrics(spark, tmp_path):
     run_stream_once(spark, str(tmp_path / "tokens"), str(tmp_path / "ck2"),
                     query_name="push_metrics_stream2")
     assert len(lis.metrics) == n_before
+
+
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    """Round-6: the REAL deployment shape — spark-submit --py-files with
+    the package zipped, the launcher copied OUT of the repo, and cwd off
+    the repo, so the package can only resolve from the zip (driver and
+    executor python workers both). Must commit the same counts as the
+    in-process CLI path."""
+    import shutil
+
+    from team_goldo_combat_log_parser_spark.runner.shipping import (
+        make_pyfiles_zip)
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "from team_goldo_combat_log_parser_spark.session import get_spark; "
+        "from team_goldo_combat_log_parser_spark.sources import datagen as dg; "
+        "s = get_spark('submit-prep', cores=2); "
+        "logs = dg.adversarial_logs(); "
+        f"dg.write_token_table(s, logs, '{tmp_path}/tokens', 2)"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=300)
+
+    zip_path = make_pyfiles_zip("/root/repo", str(tmp_path / "tglp.zip"))
+    # rebuild is byte-identical (checksummable artifact)
+    z2 = make_pyfiles_zip("/root/repo", str(tmp_path / "tglp2.zip"))
+    assert open(zip_path, "rb").read() == open(z2, "rb").read()
+
+    job = str(tmp_path / "spark_job.py")
+    shutil.copy("/root/repo/spark_job.py", job)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, job,
+         "--input", f"{tmp_path}/tokens", "--output", f"{tmp_path}/out",
+         "--checkpoint", f"{tmp_path}/ckpt"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["status"] == "committed" and out["new_sources"] == 3
+    assert out["counts"]["pulls"] == 4  # same golden as test_cli_end_to_end
