@@ -332,6 +332,61 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_clean_corpus(spark: SparkSession, sf_dir: str,
+                     token_budget_per_source: int = 400) -> DataFrame:
+    """Composite corpus cleaning — the nightly training-data shape, four
+    stages in one declarative plan:
+
+      1. exact dedup, keep-first: row_number over md5(text) ordered by
+         doc_id, keep rank 1 (the canonical copy);
+      2. quality gate: whitespace-token length in [20, 400] and stopword
+         density <= 0.3;
+      3. language gate: the n-gram marker guess (same markers as
+         doc_lang_guess) must agree with the labeled ``lang`` column;
+      4. per-source token budget: running token sum in doc_id order within
+         each source, keep rows while the cumulative count stays within
+         ``token_budget_per_source`` (domain caps in data curation).
+
+    Scale notes: stage 1 is one hash shuffle on md5(text) (near-unique
+    keys — no skew); stages 2-3 are scan-local filters fused into the same
+    stage; stage 4 is one window shuffle on ``source``. A running sum
+    cannot be salted, so a pathological single-source corpus serializes
+    stage 4 — at 10^12 docs the fix is hierarchical (per (source, shard)
+    budgets rolled up), which changes semantics and is out of scope here.
+    The whole plan is two exchanges and zero Python UDFs."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stops = F.size(F.regexp_extract_all(F.col("text"), F.lit(STOPWORDS_RE), 0))
+
+    guess = F.lit("en")
+    for lang, pat in reversed(LANG_MARKERS):
+        hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        guess = F.when(hits >= 2, F.lit(lang)).otherwise(guess)
+
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    staged = (
+        d.withColumn("n_tokens", toks)
+        .withColumn("stop_ratio",
+                    F.round(stops.cast("double") / toks.cast("double"), 6))
+        .withColumn("guess", guess)
+        .withColumn("dup_rank", F.row_number().over(w_dup))
+    )
+    kept = staged.filter(
+        (F.col("dup_rank") == 1)
+        & F.col("n_tokens").between(20, 400)
+        & (F.col("stop_ratio") <= 0.3)
+        & (F.col("guess") == F.col("lang"))
+    )
+    w_budget = (Window.partitionBy("source").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        kept.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget))
+        .filter(F.col("cum_tokens") <= token_budget_per_source)
+        .select("doc_id", "source", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -420,6 +475,38 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.62
         ORDER BY a, b
     """,
+    "doc_clean_corpus": """
+        WITH staged AS (
+          SELECT doc_id, source, lang,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                 ROUND(CAST(len(regexp_extract_all(text,
+                     '\\b(the|a|and|of|to|data|value|row)\\b')) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+                   AS stop_ratio,
+                 CASE
+                   WHEN len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')) >= 2 THEN 'fr'
+                   WHEN len(regexp_extract_all(text, '\\b(el|los|las|una|del)\\b')) >= 2 THEN 'es'
+                   WHEN len(regexp_extract_all(text, '\\b(der|die|und|das|ein)\\b')) >= 2 THEN 'de'
+                   ELSE 'en' END AS guess,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS dup_rank
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, source, lang, n_tokens
+          FROM staged
+          WHERE dup_rank = 1 AND n_tokens BETWEEN 20 AND 400
+            AND stop_ratio <= 0.3 AND guess = lang
+        ), budgeted AS (
+          SELECT doc_id, source, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+          FROM kept
+        )
+        SELECT doc_id, source, lang, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM budgeted WHERE cum_tokens <= 400 ORDER BY doc_id
+    """,
 }
 
 QUERIES = {
@@ -429,6 +516,7 @@ QUERIES = {
     "doc_quality_score": doc_quality_score,
     "doc_lang_guess": doc_lang_guess,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_clean_corpus": doc_clean_corpus,
     # rows-only (hash-sketch) — verified in pytest against exact Jaccard
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,

@@ -506,3 +506,41 @@ def test_ivf_rejects_model_trained_on_wrong_corpus(spark, tmp_path):
     assert sim._ivf_train_stats["train_runs"] == n0 + 2
     assert got == want
     sim._ivf_model_cache.clear()
+
+
+def test_clean_corpus_planted_stages(spark, tmp_path):
+    """doc_clean_corpus: each stage exercised by a planted corpus — an
+    exact duplicate (keep-first), a too-short doc, a stopword-stuffed doc,
+    a mislabeled-language doc, and a source whose token total overruns the
+    per-source budget."""
+    filler = ("granite copper basalt quartz mica shale flint slate gneiss "
+              "marble").split()
+
+    def words(n, off=0):
+        return " ".join(filler[(off + i) % len(filler)] for i in range(n))
+
+    fr_text = "le chat regarde la montagne " + words(25, 3)  # 2 fr markers
+    rows = [
+        (0, words(30), "en", "src0", 0),            # kept
+        (1, words(30), "en", "src0", 0),            # exact dup of 0: dropped
+        (2, words(10), "en", "src0", 0),            # too short: dropped
+        (3, words(30, 5), "fr", "src0", 0),         # labeled fr, reads en: drop
+        (4, fr_text, "fr", "src0", 0),              # kept (guess fr == label)
+        (5, "the a and of to " * 5, "en", "src0", 0),  # stop_ratio 1.0: drop
+    ]
+    for i, did in enumerate(range(10, 16)):         # src1: 6 docs x 100 tokens
+        rows.append((did, words(100, i), "en", "src1", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in text.doc_clean_corpus(spark, str(tmp_path)).collect()]
+    kept_ids = [r[0] for r in got]
+    # src0 survivors: 0 (first copy) and 4 (true-fr); src1: budget admits
+    # exactly the first 4 of 6 docs (cum 100..400 <= 400, then 500, 600)
+    assert kept_ids == [0, 4, 10, 11, 12, 13]
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][3] == 30 and by_id[0][4] == 30        # n_tokens, cum
+    assert by_id[4][4] == 30 + by_id[4][3]                # src0 running sum
+    assert [by_id[i][4] for i in (10, 11, 12, 13)] == [100, 200, 300, 400]
