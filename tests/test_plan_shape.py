@@ -81,3 +81,21 @@ def test_near_dup_plan_is_banded_not_cartesian(spark, sf001):
     plan = plan_of(emb_cosine_near_dup(spark, sf001))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_clean_corpus_shuffle_budget(spark):
+    """doc_clean_corpus claims two exchanges (dedup window on md5(text),
+    budget window on source) and zero Python UDFs — pin it so a later
+    edit can't silently add a shuffle or drop to a per-row UDF."""
+    import re
+
+    from team_goldo_combat_log_parser_spark.operators import text
+
+    plan = plan_of(text.doc_clean_corpus(spark, SF))
+    nodes = [re.sub(r"^\s*\(\d+\)\s*", "", ln).strip()
+             for ln in plan.splitlines() if re.match(r"^\s*\(\d+\)", ln)]
+    # 2 hash exchanges + the final orderBy's range exchange
+    hash_ex = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert len(hash_ex) == 2, hash_ex
+    assert nodes.count("Window") == 2, nodes
+    assert not any("Python" in n for n in nodes), nodes
