@@ -332,6 +332,67 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dup_clusters(spark: SparkSession, sf_dir: str,
+                     max_iters: int = 20) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    doc_ngram_jaccard_pairs graph — every doc that appears in a near-dup
+    pair, labeled with the smallest doc_id reachable from it (the cluster
+    representative a dedup pass would keep) plus the cluster size.
+
+    Spark has no recursive CTE, so this is the iterative min-label
+    propagation fixpoint (the dense-component case of the
+    large-star/small-star contraction of Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each sweep joins the undirected
+    edge list against the current labels and keeps the elementwise min.
+    One hash shuffle per sweep; lineage is truncated with localCheckpoint
+    so the plan does not grow with iterations; sweeps needed = component
+    diameter, and near-dup components are clique-like (diameter 2-3). A
+    10^12-doc deployment would swap the sweep body for star contraction
+    (O(log n) worst case) — identical semantics, same loop skeleton.
+    Convergence is detected from sum(label): labels only ever decrease,
+    so an unchanged sum is the fixpoint (one cheap agg per sweep, no
+    extra self-join).
+
+    The DuckDB oracle computes the same fixpoint as a recursive CTE, so
+    this is a full rows+schema+hash correctness entry despite the
+    iterative implementation."""
+    pairs = doc_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
+    labels = _connected_components(pairs, max_iters=max_iters)
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "lab")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("lab").alias("cluster_rep"), "cluster_size")
+            .orderBy("doc_id"))
+
+
+def _connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair list
+    (columns ``a``, ``b``). Returns (node, lab) with lab = smallest node
+    id in the component. See doc_dup_clusters for the scale story."""
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # cut the (possibly expensive) pair plan off the loop: edges is
+    # re-read every sweep and must not recompute its upstream each time
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("lab", F.col("node")))
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges.a == labels.node)
+               .groupBy(F.col("b").alias("nbr_node"))
+               .agg(F.min("lab").alias("nbr_lab")))
+        labels = (labels.join(nbr, labels.node == nbr.nbr_node, "left")
+                  .select("node",
+                          F.least("lab", F.coalesce("nbr_lab", "lab"))
+                          .alias("lab"))
+                  .localCheckpoint(eager=True))
+        cur = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
 def doc_clean_corpus(spark: SparkSession, sf_dir: str,
                      token_budget_per_source: int = 400) -> DataFrame:
     """Composite corpus cleaning — the nightly training-data shape, four
@@ -509,6 +570,33 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# The cluster oracle embeds the pair query verbatim (single source of
+# truth for the edge set) and resolves the same min-reachable fixpoint
+# the Spark loop converges to, as a recursive CTE.
+ORACLE_SQL["doc_dup_clusters"] = """
+    WITH RECURSIVE pairs AS ({jaccard}),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+      SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+      FROM walk GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_rep, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+    )
+    SELECT l.node AS doc_id, l.cluster_rep, s.cluster_size
+    FROM labels l JOIN sizes s USING (cluster_rep)
+    ORDER BY doc_id
+""".format(jaccard=ORACLE_SQL["doc_ngram_jaccard_pairs"])
+
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
@@ -517,6 +605,7 @@ QUERIES = {
     "doc_lang_guess": doc_lang_guess,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_clean_corpus": doc_clean_corpus,
+    "doc_dup_clusters": doc_dup_clusters,
     # rows-only (hash-sketch) — verified in pytest against exact Jaccard
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,

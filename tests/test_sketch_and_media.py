@@ -544,3 +544,30 @@ def test_clean_corpus_planted_stages(spark, tmp_path):
     assert by_id[0][3] == 30 and by_id[0][4] == 30        # n_tokens, cum
     assert by_id[4][4] == 30 + by_id[4][3]                # src0 running sum
     assert [by_id[i][4] for i in (10, 11, 12, 13)] == [100, 200, 300, 400]
+
+
+def test_connected_components_path_graph(spark):
+    """The label-propagation loop must reach the fixpoint on a diameter-9
+    path (forces multiple sweeps, not just one), leave separate
+    components separate, and be insensitive to edge direction."""
+    edges = [(i, i + 1) for i in range(9)]          # path 0-1-...-9
+    edges += [(20, 21), (22, 21)]                   # vee: rep 20
+    edges += [(31, 30)]                             # reversed pair: rep 30
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["lab"]
+           for r in text._connected_components(df).collect()}
+    assert {n: got[n] for n in range(10)} == {n: 0 for n in range(10)}
+    assert got[20] == got[21] == got[22] == 20
+    assert got[30] == got[31] == 30
+
+
+def test_dup_clusters_groups_transitive_pairs(spark, near_dup_dir):
+    """On the planted near-dup corpus every (3k, 3k+1) base/near pair must
+    land in one cluster with rep 3k; unrelated docs stay out."""
+    got = {r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+           for r in text.doc_dup_clusters(spark, near_dup_dir).collect()}
+    # every doc present is in a cluster of >= 2 by construction
+    assert all(sz >= 2 for _, sz in got.values())
+    paired = sum(1 for d in got
+                 if d % 3 == 0 and got.get(d + 1, (None,))[0] == got[d][0])
+    assert paired >= 25  # 30 planted pairs; word-soup collisions may merge some
