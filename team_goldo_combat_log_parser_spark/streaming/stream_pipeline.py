@@ -428,15 +428,24 @@ def reorder_buffer_depths(spark, checkpoint_dir: str) -> dict[str, int]:
     checkpointed state via Spark's ``statestore`` reader — the
     observability hook for "how far behind is each log's gap?" without
     touching a running query. Empty dict for non-reorder checkpoints
-    (no ``_buf`` in the blob)."""
+    (no ``_buf`` in the blob).
+
+    The depth is computed inside the DataFrame (``get_json_object`` +
+    ``json_array_length``, both JVM-side) and only the per-log summary is
+    collected — the state table is as big as the key space, and decoding
+    every 100k-row buffer blob in driver Python would be the exact
+    driver-side loop the rest of the engine avoids."""
     df = spark.read.format("statestore").load(checkpoint_dir)
-    out: dict[str, int] = {}
-    for r in df.select("key", "value").collect():
-        st = json.loads(r["value"]["groupState"]["blob"])
-        if "_buf" in st:
-            buf = st["_buf"]
-            out[r["key"]["log_id"]] = len(buf)
-    return out
+    rows = (
+        df.select(
+            F.col("key.log_id").alias("log_id"),
+            F.json_array_length(
+                F.get_json_object("value.groupState.blob", "$._buf"))
+            .alias("depth"))
+        .filter(F.col("depth").isNotNull())
+        .collect()
+    )
+    return {r["log_id"]: r["depth"] for r in rows}
 
 
 def run_stream_once(spark, input_dir: str, checkpoint_dir: str,
