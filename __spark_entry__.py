@@ -68,7 +68,14 @@ def _combat_corpus() -> list[tuple[str, list[str]]]:
             *dg.adversarial_logs()]
 
 
-def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
+def _combat(which: str,
+            limit: int | None = None) -> Callable[[SparkSession, str],
+                                                  DataFrame]:
+    """``limit`` applies to the ``results`` frame only: the reference
+    lists every pull (main.py:345-348), fine at 9 rows but driver-bound
+    at 10^6, so a capped listing must plan as TakeOrderedAndProject
+    (per-partition top-K, no full sort/collect) — sort + limit in the
+    same plan gives Spark exactly that (pinned in test_plan_shape)."""
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = run_pipeline(spark, dg.token_df(spark, _combat_corpus()),
                            cache=False)
@@ -156,6 +163,8 @@ def _combat(which: str) -> Callable[[SparkSession, str], DataFrame]:
             # Python; log_id/fight_seq break start-time ties stably
             .orderBy(F.desc("pull_start_paris"), F.desc("log_id"),
                      F.desc("fight_seq")),
+            # paginated /results: newest `limit` pulls as a TopK plan
+            "results_page": lambda: frames["results"]().limit(limit or 25),
             # E3 composite: the /chart/<id> page (main.py:375-557) — point
             # lookup of ONE pull, from_json decode of its data blob, all
             # nine gviz tables assembled from the DECODED struct (the read
@@ -207,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "heal", "threat", "rates", "route_counts", "enrich",
                  "pull_json", "damage_skew", "results", "chart"):
         out[f"combat_{name}"] = _combat(name)
+    # paginated /results: newest 5 pulls as a TakeOrderedAndProject plan
+    out["combat_results_page"] = _combat("results_page", limit=5)
     return out
 
 

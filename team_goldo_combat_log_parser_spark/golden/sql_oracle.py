@@ -284,6 +284,21 @@ SELECT log_id, fight_seq,
 FROM pulls ORDER BY log_id, fight_seq
 """
 
+    # paginated /results: LIMIT binds to the SAME total order the plan
+    # sorts by (start DESC with log/fight tie-breakers), so the kept
+    # row-set is deterministic on both engines
+    q["combat_results_page"] = base + f"""
+SELECT log_id, fight_seq,
+       strftime(timezone('Europe/Paris', timezone('UTC', pull_start_ts)),
+                '%Y-%m-%d %H:%M:%S.%g') AS pull_start_paris,
+       target, 1 AS n_players, total_damage,
+       CAST(floor(epoch(pull_stop_ts)) - floor(epoch(pull_start_ts)) AS BIGINT)
+         AS duration_s
+FROM pulls
+ORDER BY pull_start_paris DESC, log_id DESC, fight_seq DESC
+LIMIT 5
+"""
+
     q["combat_damage_done_skills"] = base + """
 SELECT log_id, fight_seq, fight_player AS player, skill,
        CAST(SUM(CASE WHEN amount <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS hit,

@@ -101,13 +101,17 @@ _RESULTS_COLS = [
 ]
 
 
-def results_table(results_df: DataFrame) -> dict:
+def results_table(results_df: DataFrame, limit: int | None = None) -> dict:
     """The /results listing (main.py:333-371) as a gviz DataTable dict:
     one row per pull, pull_id = '<log_id>#<fight_seq>' standing in for
     the Datastore entity id. The pull_start_time DESC order (the
     reference's order_by) is part of the ``combat_results`` PLAN — a
     Sort the engine can run distributed / push into a TopK — so this
-    renderer only formats, never re-sorts."""
+    renderer only formats, never re-sorts. ``limit`` caps the listing
+    INSIDE the plan (sort+limit -> TakeOrderedAndProject): the collect
+    below then moves at most ``limit`` rows, not every pull ever seen."""
+    if limit is not None:
+        results_df = results_df.limit(limit)
     rows = [r.asDict() for r in results_df.collect()]
     mapped = [
         {"pull_start_time": r["pull_start_paris"],

@@ -83,3 +83,20 @@ def test_results_listing_gviz(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Sort" in plan and "pull_start_paris" in plan, plan
+
+
+def test_results_listing_pagination(spark):
+    """A generous limit leaves the gviz JSON byte-identical to the
+    unlimited listing; a tight limit returns exactly the newest rows of
+    the full listing (same total order, truncated)."""
+    df = entry_mod.queries()["combat_results"](spark, SF_DIR)
+    full = gviz.results_table(df)
+    assert gviz.results_table_json(df) == json.dumps(
+        gviz.results_table(df, limit=1000), sort_keys=True)
+    page = gviz.results_table(df, limit=3)
+    assert page["rows"] == full["rows"][:3]
+
+    paged_q = entry_mod.queries()["combat_results_page"](spark, SF_DIR)
+    got = [tuple(r) for r in paged_q.collect()]
+    want = [tuple(r) for r in df.limit(5).collect()]
+    assert got == want and len(got) == 5

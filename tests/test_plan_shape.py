@@ -99,3 +99,14 @@ def test_clean_corpus_shuffle_budget(spark):
     assert len(hash_ex) == 2, hash_ex
     assert nodes.count("Window") == 2, nodes
     assert not any("Python" in n for n in nodes), nodes
+
+
+def test_results_page_plans_as_topk(spark):
+    """combat_results_page = sort DESC + limit: must plan as
+    TakeOrderedAndProject (per-partition top-K), not a global Sort
+    followed by CollectLimit."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod._combat("results_page", limit=5)(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
