@@ -55,6 +55,42 @@ def _burn(_):
     return x
 
 
+# Quiet-window gate for the timed section (VERDICT r5 item 1): the r3-r5
+# official benches undershot the adjudicated ~70k ev/s steady state
+# whenever the shared host happened to be busy. Before timing combat_e2e
+# the bench now waits (bounded) for the canary to reach GATE_FRAC x the
+# session-best capacity floor the scaling hunter established, and stamps
+# the verdict into the JSON: `gated: true` means the headline was
+# measured in a certified-quiet window; `gated: false` + the recorded
+# canary is the proof that a low number is the box, not the engine.
+CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_FLOOR", "220"))
+QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC",
+                                      "600"))
+GATE_FRAC = 0.85
+
+
+def wait_for_quiet() -> tuple[bool, float, int]:
+    """Poll the canary until it clears GATE_FRAC x CANARY_FLOOR or the
+    QUIET_WAIT_SEC budget runs out. Returns (gated, last_canary, waits);
+    the last reading doubles as canary_pre so the gate decision and the
+    bracketing field are the same sample."""
+    # the 220 M/s floor was established with a 32-proc canary; the canary
+    # aggregate scales ~linearly with proc count below the core count, so
+    # scale the floor to this run's CPUS to keep the gate meaningful at
+    # lower parallelism (e.g. the sf0.001 smoke at CPUS=8)
+    floor = CANARY_FLOOR * min(1.0, CPUS / 32.0)
+    deadline = time.time() + QUIET_WAIT_SEC
+    waits = 0
+    while True:
+        c = canary_mips()
+        if c >= GATE_FRAC * floor:
+            return True, c, waits
+        if time.time() >= deadline:
+            return False, c, waits
+        waits += 1
+        time.sleep(20)
+
+
 def canary_mips() -> float:
     """Instantaneous deliverable host capacity (Miters/s over CPUS
     busy-loop procs): the shared-host noise meter. Bracketing combat_e2e
@@ -155,7 +191,7 @@ def main() -> None:
     # pass still pays JIT compilation of the generated code; later runs
     # are steady state, and min-of-3 + the canary fields make one noisy
     # window visible instead of masquerading as a regression
-    canary_pre = canary_mips()
+    gated, canary_pre, gate_waits = wait_for_quiet()
     e2e_runs = []
     routed = 0
     for _ in range(3):
@@ -190,6 +226,10 @@ def main() -> None:
         "combat_e2e_runs_sec": e2e_runs,
         "canary_mips_pre": canary_pre,
         "canary_mips_post": canary_post,
+        "gated": gated,
+        "gate_floor_mips": CANARY_FLOOR,
+        "gate_frac": GATE_FRAC,
+        "gate_waits": gate_waits,
         "cpus": CPUS,
     }
     print(json.dumps(out))
