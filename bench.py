@@ -161,6 +161,9 @@ QUERY_BENCHES = {
     "sessionize_gap": relational.sessionize_gap,
     "topk_per_group": relational.topk_per_group,
     "doc_minhash_lsh_pairs": text.doc_minhash_lsh_pairs,
+    # round 6: the composite corpus cleaner (dedup -> quality -> lang ->
+    # per-source token budget) — the nightly training-data shape
+    "doc_clean_corpus": text.doc_clean_corpus,
     "doc_simhash_near_pairs": text.doc_simhash_near_pairs,
     "emb_cosine_topk": similarity.emb_cosine_topk,
     "emb_lsh_ann": similarity.emb_lsh_ann,
