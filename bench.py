@@ -64,9 +64,35 @@ def _burn(_):
 # measured in a certified-quiet window; `gated: false` + the recorded
 # canary is the proof that a low number is the box, not the engine.
 CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_FLOOR", "220"))
+# long enough to outlast an in-flight scaling-hunter campaign (~25 min):
+# the official bench asks the hunter to stand down (stop-file below) but
+# the hunter only reads it between attempts, so the gate must be able to
+# wait out one full campaign
 QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC",
-                                      "600"))
+                                      "1800"))
 GATE_FRAC = 0.85
+
+
+def gate_floor() -> float:
+    """CPUS-scaled gate threshold. The 220 M/s floor was established with
+    a 32-proc canary and the canary aggregate scales ~linearly with proc
+    count below the core count, so scale it to this run's CPUS (e.g. the
+    sf0.001 smoke at CPUS=8 gates against 55, not 220). Reads the module
+    globals at call time so tests can monkeypatch CANARY_FLOOR/CPUS."""
+    return CANARY_FLOOR * min(1.0, CPUS / 32.0)
+# same default as bench_scaling_autogate.STOP_FILE: the official bench
+# owns the box for its timed section, so it tells a running hunter to
+# exit at its next loop check instead of fighting it for cores
+HUNTER_STOP_FILE = os.environ.get("SPARK_GRAFT_AUTOGATE_STOP",
+                                  "/tmp/goldo_autogate_stop")
+
+
+def request_hunter_stop() -> None:
+    try:
+        with open(HUNTER_STOP_FILE, "w") as f:
+            f.write("official bench running\n")
+    except OSError:
+        pass
 
 
 def wait_for_quiet() -> tuple[bool, float, int]:
@@ -78,7 +104,7 @@ def wait_for_quiet() -> tuple[bool, float, int]:
     # aggregate scales ~linearly with proc count below the core count, so
     # scale the floor to this run's CPUS to keep the gate meaningful at
     # lower parallelism (e.g. the sf0.001 smoke at CPUS=8)
-    floor = CANARY_FLOOR * min(1.0, CPUS / 32.0)
+    floor = gate_floor()
     deadline = time.time() + QUIET_WAIT_SEC
     waits = 0
     while True:
@@ -194,6 +220,7 @@ def main() -> None:
     # pass still pays JIT compilation of the generated code; later runs
     # are steady state, and min-of-3 + the canary fields make one noisy
     # window visible instead of masquerading as a regression
+    request_hunter_stop()
     gated, canary_pre, gate_waits = wait_for_quiet()
     e2e_runs = []
     routed = 0
@@ -230,7 +257,7 @@ def main() -> None:
         "canary_mips_pre": canary_pre,
         "canary_mips_post": canary_post,
         "gated": gated,
-        "gate_floor_mips": CANARY_FLOOR,
+        "gate_floor_mips": gate_floor(),
         "gate_frac": GATE_FRAC,
         "gate_waits": gate_waits,
         "cpus": CPUS,

@@ -448,6 +448,89 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str,
     )
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document, Gopher-style (Rae et al. 2021,
+    "Scaling Language Models", Table A1): duplicate-token fraction and
+    most-frequent-word-bigram fraction, plus the combined filter flag a
+    curation pass would drop on (dup>0.60 or top-bigram>0.18 — the
+    published thresholds). Ratios are floor-e6 integers for cross-engine
+    hash parity (see doc_bpe_token_count).
+
+    Scale notes: the bigram fan-out is explode + two hash aggregates
+    keyed by (doc_id, bigram) then doc_id — near-unique keys, map-side
+    combine collapses each doc's bigrams locally, so the shuffle carries
+    ~distinct-bigrams-per-doc rows, not tokens. The final join back to
+    the per-doc base is doc_id-to-doc_id (co-partitioned by the same
+    hash). No Python UDFs."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    n = F.size("toks")
+    base = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.floor((n - F.size(F.array_distinct("toks"))).cast("double")
+                / n.cast("double") * 1e6).alias("dup_token_e6"),
+    )
+    # word bigrams: element i of the slice is 0-based, toks[i+1] pairs it
+    # with its successor; a 1-token doc slices to an empty array
+    bigrams = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(toks, 1, size(toks) - 1),"
+            " (x, i) -> concat(x, ' ', toks[i + 1]))")).alias("bigram"),
+        (n - 1).alias("n_bigrams"),
+    )
+    tops = (
+        bigrams.groupBy("doc_id", "bigram", "n_bigrams")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"),
+             F.floor(F.max("c").cast("double")
+                     / F.greatest(F.first("n_bigrams"), F.lit(1))
+                     .cast("double") * 1e6).alias("top_bigram_e6"))
+    )
+    return (
+        base.join(tops, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "dup_token_e6",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce("top_bigram_e6", F.lit(0)).alias("top_bigram_e6"),
+            ((F.col("dup_token_e6") > 600000)
+             | (F.coalesce("top_bigram_e6", F.lit(0)) > 180000))
+            .cast("int").alias("rep_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str,
+                          k: int = 10, prefilter: str = "8") -> DataFrame:
+    """Deterministic stratified sampling: the k docs per language stratum
+    that sort first by md5(doc_id) — the reproducible "n per domain/lang"
+    draw a training-data pipeline uses for eval splits and ablations
+    (seedless, stable across runs and engines).
+
+    Scale notes: the hash-threshold prefilter (``h < prefilter``, here the
+    top-half of hash space) is scan-local and discards most rows before
+    the only shuffle, the per-stratum row_number window. Strata are
+    few-and-large (classic window skew), so at 10^12 docs the threshold
+    is tightened until the window input is ~k x fudge per stratum —
+    semantics unchanged as long as >= k survivors remain per stratum,
+    because hash order is preserved under the prefix cut. No Python UDFs,
+    no ties (md5 is injective on these keys for all practical purposes)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("h")
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .filter(F.col("h") < prefilter)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("doc_id", "lang", "source", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -503,6 +586,56 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_correct
         FROM g GROUP BY lang ORDER BY lang
+    """,
+    "doc_sample_stratified": """
+        WITH h AS (
+          SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h)
+                   AS sample_rank
+          FROM h WHERE h < '8'
+        )
+        SELECT doc_id, lang, source, CAST(sample_rank AS INT) AS sample_rank
+        FROM ranked WHERE sample_rank <= 10
+        ORDER BY lang, sample_rank
+    """,
+    "doc_repetition_stats": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ), base AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(FLOOR(CAST(len(toks) - len(list_distinct(toks))
+                   AS DOUBLE) / len(toks) * 1e6) AS BIGINT) AS dup_token_e6
+          FROM t
+        ), idx AS (
+          SELECT doc_id, toks, len(toks) - 1 AS n_bigrams,
+                 unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM t WHERE len(toks) >= 2
+        ), bg AS (
+          SELECT doc_id, n_bigrams,
+                 list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                   AS bigram
+          FROM idx
+        ), counts AS (
+          SELECT doc_id, n_bigrams, bigram, COUNT(*) AS c
+          FROM bg GROUP BY 1, 2, 3
+        ), tops AS (
+          SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+                 CAST(FLOOR(CAST(MAX(c) AS DOUBLE)
+                   / GREATEST(MAX(n_bigrams), 1) * 1e6) AS BIGINT)
+                   AS top_bigram_e6
+          FROM counts GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_tokens, b.dup_token_e6,
+               COALESCE(tp.top_bigram_count, 0) AS top_bigram_count,
+               COALESCE(tp.top_bigram_e6, 0) AS top_bigram_e6,
+               CAST(b.dup_token_e6 > 600000
+                 OR COALESCE(tp.top_bigram_e6, 0) > 180000 AS INT) AS rep_flag
+        FROM base b LEFT JOIN tops tp ON b.doc_id = tp.doc_id
+        ORDER BY b.doc_id
     """,
     "doc_ngram_jaccard_pairs": """
         WITH idx AS (
@@ -603,6 +736,8 @@ QUERIES = {
     "doc_bpe_token_count": doc_bpe_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_guess": doc_lang_guess,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_sample_stratified": doc_sample_stratified,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_clean_corpus": doc_clean_corpus,
     "doc_dup_clusters": doc_dup_clusters,

@@ -571,3 +571,54 @@ def test_dup_clusters_groups_transitive_pairs(spark, near_dup_dir):
     paired = sum(1 for d in got
                  if d % 3 == 0 and got.get(d + 1, (None,))[0] == got[d][0])
     assert paired >= 25  # 30 planted pairs; word-soup collisions may merge some
+
+
+def test_repetition_stats_planted(spark, tmp_path):
+    """doc_repetition_stats: hand-computed Gopher signals — a clean doc,
+    a duplicate-token doc (flag via dup ratio), a repeated-bigram doc
+    (flag via top-bigram ratio), and a 1-token doc (no bigrams: the
+    left-join/coalesce edge)."""
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(10)), "en", "s", 0),
+        (1, "spam spam spam spam spam ham", "en", "s", 0),
+        (2, "one two one two one two one two " +
+            " ".join(f"u{i}" for i in range(10)), "en", "s", 0),
+        (3, "solo", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: tuple(r)
+           for r in text.doc_repetition_stats(spark, str(tmp_path)).collect()}
+    # (doc_id, n_tokens, dup_token_e6, top_bigram_count, top_bigram_e6, flag)
+    assert got[0] == (0, 10, 0, 1, 111111, 0)
+    assert got[1] == (1, 6, 666666, 4, 800000, 1)       # floor(4/6), floor(4/5)
+    assert got[2] == (2, 18, 333333, 4, 235294, 1)      # "one two" x4 / 17
+    assert got[3] == (3, 1, 0, 0, 0, 0)
+
+
+def test_sample_stratified_matches_hashlib(spark, tmp_path):
+    """doc_sample_stratified: ranks must equal the md5-sorted order of
+    threshold survivors, computed independently with hashlib; k caps each
+    stratum and strata never mix."""
+    import hashlib
+    rows = [(i, f"text {i}", "en" if i % 2 else "fr", f"s{i % 3}", 0)
+            for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    want = {}
+    for lang in ("en", "fr"):
+        ids = [i for i, _, lg, _, _ in rows if lg == lang]
+        surv = [(hashlib.md5(str(i).encode()).hexdigest(), i) for i in ids]
+        surv = sorted(h for h in surv if h[0] < "8")[:3]
+        want[lang] = [(i, lang, f"s{i % 3}", r + 1)
+                      for r, (_, i) in enumerate(surv)]
+
+    got = [tuple(r) for r in
+           text.doc_sample_stratified(spark, str(tmp_path), k=3).collect()]
+    assert got == want["en"] + want["fr"]
