@@ -531,6 +531,145 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str,
     )
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str,
+                      k: int = 10, prefilter: str = "8",
+                      n: int = 5) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share a word
+    n-gram with the held-out eval split — the GPT-3/PaLM-style overlap
+    check a training-data pipeline runs before every data refresh. The
+    eval split is the same deterministic draw as ``doc_sample_stratified``
+    (k docs per language stratum by md5(doc_id) order under the hash
+    prefix cut), so split and check stay consistent by construction.
+
+    Output: one row per *contaminated training doc* — distinct shared
+    n-grams, distinct eval docs hit, and the smallest offending eval
+    doc_id (the remediation pointer).
+
+    Scale notes: the eval split is tiny by definition (k per stratum), so
+    both the train/eval separation (broadcast LeftAnti) and the gram
+    match (broadcast Inner on the exploded eval grams) are map-side —
+    the only shuffle is the final per-doc hash aggregate, which map-side
+    combine collapses to ~contaminated-docs rows. At 10^12 training docs
+    the eval gram set still fits in a broadcast (eval sets are 10^3-10^5
+    docs); no all-pairs work anywhere. No Python UDFs."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("h")
+    eval_ids = (
+        d.select("doc_id", "lang", h.alias("h"))
+        .filter(F.col("h") < prefilter)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(F.col("doc_id").alias("eval_doc_id"))
+    )
+    # distinct word n-grams per doc; docs shorter than n tokens emit none
+    grams = (
+        d.select("doc_id",
+                 F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select("doc_id", F.explode(F.expr(
+            f"transform(slice(toks, 1, greatest(size(toks) - {n - 1}, 0)),"
+            f" (x, i) -> concat_ws(' ', slice(toks, i + 1, {n})))"
+        )).alias("gram"))
+        .distinct()
+    )
+    eval_grams = (
+        grams.join(F.broadcast(eval_ids),
+                   grams.doc_id == eval_ids.eval_doc_id)
+        .select("eval_doc_id", "gram")
+    )
+    train_grams = grams.join(F.broadcast(eval_ids),
+                             grams.doc_id == eval_ids.eval_doc_id,
+                             "left_anti")
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"),
+             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+             F.min("eval_doc_id").alias("min_eval_doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+def doc_mix_weights(spark: SparkSession, sf_dir: str,
+                    cap_e6: int = 3_000_000) -> DataFrame:
+    """Source-mixture reweighting: per-source token totals and the
+    up/down-sampling weight that equalizes each source's token share to
+    the uniform target (1/n_sources), capped at ``cap_e6`` (3.0x — the
+    "few epochs max" repeat cap data-mixing practice uses to avoid
+    memorizing small domains). Ratios are floor-e6 integers for
+    cross-engine hash parity.
+
+    Scale notes: one map-side-combining hash aggregate on ``source``
+    (sources are few — the output is dimension-sized), then a broadcast
+    of the single grand-total row back onto it. Scan-dominated at any
+    corpus size; no skew surface (the agg output, not the scan, carries
+    the per-source key)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = (
+        d.select("source", toks.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("tot_tokens"))
+    )
+    tot = per.agg(F.sum("tot_tokens").alias("grand_tokens"),
+                  F.count(F.lit(1)).alias("n_sources"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "tot_tokens",
+            F.floor(F.col("tot_tokens").cast("double")
+                    / F.col("grand_tokens").cast("double") * 1e6)
+            .alias("share_e6"),
+            F.least(
+                F.floor(F.col("grand_tokens").cast("double")
+                        / (F.col("n_sources") * F.col("tot_tokens"))
+                        .cast("double") * 1e6),
+                F.lit(cap_e6).cast("long")).alias("weight_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# PII patterns, engine-portable by the BPE_ISH_RE rules: no lookaround,
+# ASCII classes only, identical under leftmost-first (Java/Python) and
+# RE2 (DuckDB) semantics. Redaction is sequenced email -> IPv4 -> digit
+# run, each counted against the previous stage's output, so a digit-only
+# email local part is never double-counted as a phone number.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_NUM_RE = r"\b[0-9][0-9()+ -]{5,}[0-9]\b"
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails, IPv4 addresses, and long digit runs
+    (phone-ish) to typed placeholders; report per-kind counts, the md5 of
+    the scrubbed text (the value a downstream dedup would key on), and a
+    row-level flag. The driver's synthetic corpus is digit-free, so at
+    sf0.01 this verifies the regex/replace/hash parity on the no-match
+    path; the planted-PII pytest (test_sketch_and_media.py) verifies the
+    redaction semantics — same split as the media codecs.
+
+    Scale notes: scan-only, zero shuffles beyond the presentation sort;
+    all three passes fuse into one WholeStageCodegen projection."""
+    d = load(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_NUM_RE, "<NUM>")
+    n_emails = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(PII_EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), 0))
+    n_nums = F.size(F.regexp_extract_all(t2, F.lit(PII_NUM_RE), 0))
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_nums.alias("n_nums"),
+        F.md5(t3).alias("scrub_hash"),
+        ((n_emails + n_ips + n_nums) > 0).cast("int").alias("pii_flag"),
+    ).orderBy("doc_id")
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -703,6 +842,95 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["doc_decontaminate"] = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ), eval_ids AS (
+      SELECT doc_id AS eval_doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR))) AS r
+        FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '8'
+      ) WHERE r <= 10
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ), eval_grams AS (
+      SELECT e.eval_doc_id, g.gram
+      FROM grams g JOIN eval_ids e ON g.doc_id = e.eval_doc_id
+    ), train_grams AS (
+      SELECT * FROM grams
+      WHERE doc_id NOT IN (SELECT eval_doc_id FROM eval_ids)
+    )
+    SELECT tg.doc_id,
+           CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT eg.eval_doc_id) AS BIGINT) AS n_eval_docs,
+           MIN(eg.eval_doc_id) AS min_eval_doc_id
+    FROM train_grams tg JOIN eval_grams eg ON tg.gram = eg.gram
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["doc_mix_weights"] = """
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS tot_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT SUM(tot_tokens) AS grand_tokens, COUNT(*) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, CAST(tot_tokens AS BIGINT) AS tot_tokens,
+           CAST(FLOOR(CAST(tot_tokens AS DOUBLE)
+             / CAST(grand_tokens AS DOUBLE) * 1e6) AS BIGINT) AS share_e6,
+           CAST(LEAST(FLOOR(CAST(grand_tokens AS DOUBLE)
+             / CAST(n_sources * tot_tokens AS DOUBLE) * 1e6),
+             3000000) AS BIGINT) AS weight_e6
+    FROM per CROSS JOIN tot ORDER BY source
+"""
+
+ORACLE_SQL["doc_pii_scrub"] = """
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, text, t1,
+             regexp_replace(t1,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+               '<IP>', 'g') AS t2
+      FROM s
+    ), s3 AS (
+      SELECT doc_id, text, t1, t2,
+             regexp_replace(t2, '\\b[0-9][0-9()+ -]{5,}[0-9]\\b',
+               '<NUM>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(t1,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+             AS n_ips,
+           len(regexp_extract_all(t2, '\\b[0-9][0-9()+ -]{5,}[0-9]\\b'))
+             AS n_nums,
+           md5(t3) AS scrub_hash,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(t1,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+             + len(regexp_extract_all(t2,
+               '\\b[0-9][0-9()+ -]{5,}[0-9]\\b')) > 0 AS INT) AS pii_flag
+    FROM s3 ORDER BY doc_id
+"""
+
 # The cluster oracle embeds the pair query verbatim (single source of
 # truth for the edge set) and resolves the same min-reachable fixpoint
 # the Spark loop converges to, as a recursive CTE.
@@ -741,6 +969,9 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_clean_corpus": doc_clean_corpus,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_mix_weights": doc_mix_weights,
+    "doc_pii_scrub": doc_pii_scrub,
     # rows-only (hash-sketch) — verified in pytest against exact Jaccard
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,

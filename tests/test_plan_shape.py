@@ -110,3 +110,31 @@ def test_results_page_plans_as_topk(spark):
     df = entry_mod._combat("results_page", limit=5)(spark, SF)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """doc_decontaminate's eval split is tiny by definition, so both the
+    train/eval separation and the gram match must be broadcast joins —
+    a regression to SortMergeJoin (or worse, a nested loop) would shuffle
+    the full training gram set against a dimension-sized eval set."""
+    from team_goldo_combat_log_parser_spark.operators import text
+
+    plan = plan_of(text.doc_decontaminate(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mix_weights_broadcasts_grand_total(spark):
+    """doc_mix_weights joins the single grand-total row back onto the
+    per-source aggregate: that must be a broadcast (nested-loop over one
+    row is fine), never a shuffled join, and the scan must prune to the
+    two columns the operator reads."""
+    from team_goldo_combat_log_parser_spark.operators import text
+
+    plan = plan_of(text.doc_mix_weights(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "doc_id" not in read and "lang" not in read, read

@@ -622,3 +622,121 @@ def test_sample_stratified_matches_hashlib(spark, tmp_path):
     got = [tuple(r) for r in
            text.doc_sample_stratified(spark, str(tmp_path), k=3).collect()]
     assert got == want["en"] + want["fr"]
+
+
+def test_decontaminate_matches_python(spark, tmp_path):
+    """doc_decontaminate: full independent recomputation with hashlib +
+    Python set algebra — eval split, word 5-gram sets, and the per-doc
+    contamination rollup must all agree on a corpus where rotations of a
+    small vocabulary guarantee cross-doc 5-gram overlap."""
+    import hashlib
+    import re
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa").split()
+
+    def words(n, off=0):
+        return " ".join(base[(off + i) % len(base)] for i in range(n))
+
+    rows = [(i, words(12, i), "en" if i % 2 else "fr", "s0", 0)
+            for i in range(12)]
+    rows.append((50, "one two three four", "en", "s0", 0))   # < 5 tokens
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    k, prefilter, n = 2, "8", 5
+    by_lang = {}
+    for i, _, lg, _, _ in rows:
+        by_lang.setdefault(lg, []).append(i)
+    eval_ids = set()
+    for lg, ids in by_lang.items():
+        surv = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                      for i in ids
+                      if hashlib.md5(str(i).encode()).hexdigest() < prefilter)
+        eval_ids |= {i for _, i in surv[:k]}
+
+    def grams(t):
+        toks = re.split(r"\s+", t.strip())
+        return {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+    doc_grams = {i: grams(t) for i, t, _, _, _ in rows}
+    eval_gram_owners = {}
+    for e in eval_ids:
+        for g in doc_grams[e]:
+            eval_gram_owners.setdefault(g, set()).add(e)
+    want = []
+    for i, _, _, _, _ in rows:
+        if i in eval_ids:
+            continue
+        shared = {g for g in doc_grams[i] if g in eval_gram_owners}
+        if not shared:
+            continue
+        hit_evals = set().union(*(eval_gram_owners[g] for g in shared))
+        want.append((i, len(shared), len(hit_evals), min(hit_evals)))
+    want.sort()
+    assert want, "planted corpus must actually contaminate"
+
+    got = [tuple(r) for r in text.doc_decontaminate(
+        spark, str(tmp_path), k=k, prefilter=prefilter, n=n).collect()]
+    assert got == want
+
+
+def test_mix_weights_planted(spark, tmp_path):
+    """doc_mix_weights: hand-computed shares/weights on three sources,
+    including the 3.0x repeat cap on the smallest source."""
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(0, words(10), "en", "s0", 0), (1, words(20), "en", "s0", 0),
+            (2, words(60), "en", "s1", 0), (3, words(10), "en", "s2", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in text.doc_mix_weights(spark, str(tmp_path)).collect()]
+    # grand = 100 tokens over 3 sources; uniform target = 1/3 each
+    assert got == [
+        ("s0", 2, 30, 300000, 1111111),   # floor(100/(3*30) * 1e6)
+        ("s1", 1, 60, 600000, 555555),    # undersampled: floor(100/180*1e6)
+        ("s2", 1, 10, 100000, 3000000),   # raw 3333333 -> capped at 3.0x
+    ]
+
+
+def test_pii_scrub_planted(spark, tmp_path):
+    """doc_pii_scrub: planted emails/IPs/phones — counts are staged (an
+    all-digit email local part is not re-counted as a phone number) and
+    scrub_hash equals md5 of the independently re-redacted text."""
+    import hashlib
+    import re
+
+    texts = {
+        0: "contact me at john.doe@example.com today",
+        1: "server at 192.168.0.1 went down",
+        2: "call 555-123-4567 now",
+        3: "mail 12345678@host.org or 10.0.0.1 or 555 867 5309",
+        4: "no personal identifiers here at all",
+    }
+    rows = [(i, t, "en", "s0", 0) for i, t in sorted(texts.items())]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: tuple(r)
+           for r in text.doc_pii_scrub(spark, str(tmp_path)).collect()}
+
+    def scrub(t):
+        t = re.sub(text.PII_EMAIL_RE, "<EMAIL>", t)
+        t = re.sub(text.PII_IPV4_RE, "<IP>", t)
+        return re.sub(text.PII_NUM_RE, "<NUM>", t)
+
+    for i, t in texts.items():
+        assert got[i][4] == hashlib.md5(scrub(t).encode()).hexdigest(), i
+    # (doc_id, n_emails, n_ips, n_nums, _, pii_flag)
+    assert [got[i][1:4] + (got[i][5],) for i in range(5)] == [
+        (1, 0, 0, 1), (0, 1, 0, 1), (0, 0, 1, 1), (1, 1, 1, 1),
+        (0, 0, 0, 0)]
+    assert scrub(texts[3]) == "mail <EMAIL> or <IP> or <NUM>"
