@@ -492,6 +492,44 @@ def cosine_near_dup_sql(sf_dir: str | None = None) -> str:
     """
 
 
+def cosine_dup_clusters_sql(sf_dir: str | None = None) -> str:
+    """Recursive-CTE min-reachable fixpoint over the cosine near-dup
+    pair oracle — the same resolution doc_dup_clusters' oracle applies
+    to the Jaccard pairs (operators/text.py), over the embedding graph.
+    Two WITH RECURSIVE parsing hazards are defused: the embedded pair
+    query's trailing presentation sort is stripped (ORDER BY is illegal
+    inside a recursive WITH; set membership is order-independent), and
+    the query is wrapped in a derived table so its top-level UNION ALL
+    (the sf-mismatch error guard) is not mistaken for a base/recursive
+    member split, which would unbind its private CTEs."""
+    inner = cosine_near_dup_sql(sf_dir).rstrip()
+    assert inner.endswith("ORDER BY a, b"), inner[-60:]
+    inner = inner[: inner.rfind("ORDER BY a, b")]
+    return """
+    WITH RECURSIVE pairs AS (SELECT * FROM ({inner}) q),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM edges
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+      SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+      FROM walk GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_rep, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+    )
+    SELECT l.node AS vec_id, l.cluster_rep, s.cluster_size
+    FROM labels l JOIN sizes s USING (cluster_rep)
+    ORDER BY vec_id
+    """.format(inner=inner)
+
+
 def sketch_oracle_queries(sf_dir: str | None = None) -> dict[str, str]:
     return {
         "doc_minhash_lsh_pairs": minhash_sql(sf_dir),
@@ -500,4 +538,5 @@ def sketch_oracle_queries(sf_dir: str | None = None) -> dict[str, str]:
         "emb_lsh_ann": lsh_ann_sql(sf_dir),
         "emb_ivf_ann": ivf_ann_sql(sf_dir),
         "emb_cosine_near_dup": cosine_near_dup_sql(sf_dir),
+        "emb_dup_clusters": cosine_dup_clusters_sql(sf_dir),
     }

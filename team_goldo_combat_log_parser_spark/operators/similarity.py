@@ -536,6 +536,31 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
             .orderBy("a", "b"))
 
 
+def emb_dup_clusters(spark: SparkSession, sf_dir: str,
+                     threshold: float = NEAR_DUP_THRESHOLD,
+                     max_iters: int = 20) -> DataFrame:
+    """Embedding near-dup cluster resolution: connected components over
+    the emb_cosine_near_dup pair graph — the vector-space mirror of
+    doc_dup_clusters, closing the dedup lifecycle (pairs -> clusters ->
+    keep-representative) for semantic duplicates the text sketches miss.
+
+    Reuses the min-label-propagation fixpoint from the text operators
+    (see doc_dup_clusters for the sweep-cost and star-contraction scale
+    story); the pair plan stays the banding equi-join, and
+    localCheckpoint inside the loop cuts it off the per-sweep lineage.
+    The DuckDB oracle resolves the same fixpoint as a recursive CTE over
+    the tabulated-banding pair oracle (golden/sketch_oracle.py)."""
+    from .text import _connected_components
+
+    pairs = emb_cosine_near_dup(spark, sf_dir, threshold).select("a", "b")
+    labels = _connected_components(pairs, max_iters=max_iters)
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "lab")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("lab").alias("cluster_rep"), "cluster_size")
+            .orderBy("vec_id"))
+
+
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per label: count + exact decimal mean-norm stats (sanity rollup)."""
     e = load(spark, sf_dir, "embeddings")
@@ -630,4 +655,7 @@ QUERIES = {
     # oracled via sketch_oracle.cosine_near_dup_sql (banding tabulated,
     # decimal cosine + threshold re-derived in DuckDB SQL)
     "emb_cosine_near_dup": emb_cosine_near_dup,
+    # oracled via sketch_oracle.cosine_dup_clusters_sql (recursive-CTE
+    # fixpoint over the same pair oracle)
+    "emb_dup_clusters": emb_dup_clusters,
 }

@@ -740,3 +740,21 @@ def test_pii_scrub_planted(spark, tmp_path):
         (1, 0, 0, 1), (0, 1, 0, 1), (0, 0, 1, 1), (1, 1, 1, 1),
         (0, 0, 0, 0)]
     assert scrub(texts[3]) == "mail <EMAIL> or <IP> or <NUM>"
+
+
+def test_emb_dup_clusters_invariants(spark):
+    """emb_dup_clusters: every clustered vector sits in a cluster of
+    >= 2 whose representative is its smallest member, and the clustered
+    node set equals the node set of the near-dup pair graph."""
+    pairs = [(r["a"], r["b"]) for r in similarity.emb_cosine_near_dup(
+        spark, "/root/testdata/sf0.01").collect()]
+    got = {r["vec_id"]: (r["cluster_rep"], r["cluster_size"])
+           for r in similarity.emb_dup_clusters(
+               spark, "/root/testdata/sf0.01").collect()}
+    assert set(got) == {v for p in pairs for v in p}
+    reps = {}
+    for v, (rep, _) in got.items():
+        reps.setdefault(rep, set()).add(v)
+    for rep, members in reps.items():
+        assert rep == min(members)
+        assert all(got[v][1] == len(members) for v in members)
