@@ -670,6 +670,53 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    unigram language model on the corpus itself (token -> count / total),
+    score each document by average negative log-likelihood (the
+    perplexity proxy), and split the corpus into head/middle/tail
+    fluency buckets by NTILE(3) — the split CCNet uses to keep "head"
+    web text for training. The nll is floored at e4 (integer) so the
+    tercile window orders on (integer, doc_id): fully deterministic and
+    engine-independent despite the float log upstream.
+
+    Scale notes: the LM "training" is one explode + map-side-combining
+    hash agg on token (Zipf skew is harmless — partial agg collapses hot
+    tokens per partition before the shuffle); scoring joins the vocab
+    back broadcast here (the synthetic vocab is tiny). At web scale the
+    distinct-token table is 10^8+, so the broadcast flips to a shuffled
+    equi-join on token — or the vocab is pruned to top-K with an OOV
+    smoothing count, which changes semantics and is out of scope. The
+    exact global tercile is a single-partition window; at 10^12 docs the
+    cut points come from approxQuantile instead (same buckets up to
+    quantile-sketch error). No Python UDFs."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_corpus"))
+    scored = (toks.join(F.broadcast(vocab), "tok")
+              .crossJoin(F.broadcast(total)))
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.floor(F.avg(F.log(F.col("n_corpus").cast("double")
+                                 / F.col("c").cast("double"))) * 1e4)
+             .alias("avg_nll_e4"))
+    )
+    w = Window.orderBy("avg_nll_e4", "doc_id")
+    bucket = F.ntile(3).over(w)
+    return (
+        per_doc.withColumn(
+            "ppl_bucket",
+            F.when(bucket == 1, F.lit("head"))
+            .when(bucket == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")))
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -842,6 +889,32 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["doc_unigram_nll"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+        AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+    ), total AS (
+      SELECT SUM(c) AS n_corpus FROM vocab
+    ), per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             CAST(FLOOR(AVG(ln(CAST(n_corpus AS DOUBLE)
+               / CAST(c AS DOUBLE))) * 1e4) AS BIGINT) AS avg_nll_e4
+      FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+      GROUP BY 1
+    ), tiled AS (
+      SELECT doc_id, n_tokens, avg_nll_e4,
+             NTILE(3) OVER (ORDER BY avg_nll_e4, doc_id) AS b
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, avg_nll_e4,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+    FROM tiled ORDER BY doc_id
+"""
+
 ORACLE_SQL["doc_decontaminate"] = """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -972,6 +1045,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_mix_weights": doc_mix_weights,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_unigram_nll": doc_unigram_nll,
     # rows-only (hash-sketch) — verified in pytest against exact Jaccard
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,

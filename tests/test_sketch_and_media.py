@@ -758,3 +758,26 @@ def test_emb_dup_clusters_invariants(spark):
     for rep, members in reps.items():
         assert rep == min(members)
         assert all(got[v][1] == len(members) for v in members)
+
+
+def test_unigram_nll_planted(spark, tmp_path):
+    """doc_unigram_nll: hand-checkable unigram model — counts a=2, b=2,
+    c=1 over N=5, per-doc average nll recomputed with math.log, and the
+    tercile bucket order following the integer (avg_nll_e4, doc_id) key."""
+    import math
+
+    rows = [(0, "a a b", "en", "s", 0), (1, "b c", "en", "s", 0),
+            (2, "a a b", "en", "s", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in text.doc_unigram_nll(spark, str(tmp_path)).collect()]
+    # corpus counts: a=4, b=3, c=1, N=8
+    nll0 = (2 * math.log(8 / 4) + math.log(8 / 3)) / 3
+    nll1 = (math.log(8 / 3) + math.log(8 / 1)) / 2
+    e0, e1 = math.floor(nll0 * 1e4), math.floor(nll1 * 1e4)
+    # docs 0 and 2 tie on nll; doc_id breaks the tie -> 0 head, 2 middle
+    assert got == [(0, 3, e0, "head"), (1, 2, e1, "tail"),
+                   (2, 3, e0, "middle")]
