@@ -673,3 +673,65 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["status"] == "committed" and out["new_sources"] == 3
     assert out["counts"]["pulls"] == 4  # same golden as test_cli_end_to_end
+
+
+def test_doc_stream_dedup_across_batches(spark, tmp_path):
+    """Streaming ingest dedup: a duplicate arriving in a LATER batch
+    (same checkpoint, new file) is dropped by the restored hash state;
+    new content still flows through."""
+    from datetime import datetime
+
+    from team_goldo_combat_log_parser_spark.streaming.doc_stream import (
+        DOC_STREAM_SCHEMA, run_doc_dedup_once)
+
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    ts = datetime(2026, 1, 1, 12, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    feed([(0, "alpha beta", "en", "s0", 0, ts),
+          (1, "gamma delta", "en", "s0", 0, ts)])
+    r1 = run_doc_dedup_once(spark, in_dir, ck, out).collect()
+    assert sorted(r["doc_id"] for r in r1) == [0, 1]
+
+    # batch 2: doc 2 repeats doc 0's text (drop), doc 3 is new (keep)
+    feed([(2, "alpha beta", "en", "s1", 0, ts),
+          (3, "epsilon zeta", "en", "s1", 0, ts)])
+    r2 = run_doc_dedup_once(spark, in_dir, ck, out).collect()
+    assert sorted(r["doc_id"] for r in r2) == [0, 1, 3]
+
+
+def test_doc_stream_dedup_matches_batch(spark, tmp_path):
+    """On an in-order feed (doc_id order, one batch per doc) the stream's
+    first-arrival winner per hash equals the batch doc_exact_dedup
+    min-doc_id winner."""
+    from datetime import datetime
+
+    from team_goldo_combat_log_parser_spark.operators import text
+    from team_goldo_combat_log_parser_spark.streaming.doc_stream import (
+        DOC_STREAM_SCHEMA, run_doc_dedup_once)
+
+    texts = ["one two", "three four", "one two", "five six", "three four"]
+    rows = [(i, t, "en", "s0", 0, datetime(2026, 1, 1, 12, 0, i))
+            for i, t in enumerate(texts)]
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    got = None
+    for r in rows:  # one file + one availableNow pass per doc: in-order
+        spark.createDataFrame([r], DOC_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        got = run_doc_dedup_once(spark, in_dir, ck, out)
+    stream_ids = sorted(r["doc_id"] for r in got.collect())
+
+    spark.createDataFrame(rows, DOC_STREAM_SCHEMA) \
+        .drop("ingest_ts").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    batch_ids = sorted(
+        r["keep_doc_id"]
+        for r in text.doc_exact_dedup(spark, str(tmp_path)).collect())
+    assert stream_ids == batch_ids == [0, 1, 3]
