@@ -127,8 +127,9 @@ def main() -> int:
     # degradation for the baseline and launch into a bad window
     floor = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BEST_FLOOR", "0"))
     best_cap = max(bs.host_capacity(), bs.host_capacity(), floor)
+    label = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUND", "6")
     append_md(
-        f"\n\n## Round-5 automated quiet-window campaign log"
+        f"\n\n## Round-{label} automated quiet-window campaign log"
         f" (started {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
         f"Hunter: probe (32-proc canary; memcpy bw at 1/4 streams, no\n"
         f"Spark alive) -> gate (canary >= {GATE_FRAC:.2f}x session-best,"
