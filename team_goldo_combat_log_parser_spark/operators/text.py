@@ -717,6 +717,43 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pack_sequences(spark: SparkSession, sf_dir: str,
+                       seq_len: int = 256) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each source's
+    documents in doc_id order and chunk the token stream into fixed
+    ``seq_len`` training sequences (GPT-style concat-then-chunk packing).
+    Each doc is annotated with its byte-stream coordinates: starting
+    offset, first/last sequence index, and how many sequences it spans —
+    the map a packing writer needs to emit (seq_id, token window) pairs
+    without materializing the concatenation. All-integer arithmetic, so
+    cross-engine parity is exact (no float floors).
+
+    Scale notes: one window shuffle on ``source`` (the same running-sum
+    shape and the same caveat as doc_clean_corpus's budget stage: a
+    running sum cannot be salted, so packing parallelism = number of
+    sources; at 10^12 docs the unit becomes (source, shard) with
+    per-shard streams, which is also what a real packer does to keep
+    writer tasks independent). No Python UDFs."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return (
+        d.select("doc_id", "source", toks.alias("n_tokens"))
+        .withColumn("start_off", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("first_seq",
+                    F.expr(f"start_off div {seq_len}"))
+        .withColumn("last_seq",
+                    F.expr(f"(start_off + n_tokens - 1) div {seq_len}"))
+        .select("doc_id", "source", "n_tokens", "start_off", "first_seq",
+                "last_seq",
+                (F.col("last_seq") - F.col("first_seq") + 1)
+                .alias("n_seqs_spanned"))
+        .orderBy("doc_id")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -889,6 +926,26 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["doc_pack_sequences"] = """
+    WITH x AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS start_off
+      FROM x
+    )
+    SELECT doc_id, source, n_tokens, start_off,
+           start_off // 256 AS first_seq,
+           (start_off + n_tokens - 1) // 256 AS last_seq,
+           (start_off + n_tokens - 1) // 256 - start_off // 256 + 1
+             AS n_seqs_spanned
+    FROM packed ORDER BY doc_id
+"""
+
 ORACLE_SQL["doc_unigram_nll"] = """
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
@@ -1046,6 +1103,7 @@ QUERIES = {
     "doc_mix_weights": doc_mix_weights,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_unigram_nll": doc_unigram_nll,
+    "doc_pack_sequences": doc_pack_sequences,
     # rows-only (hash-sketch) — verified in pytest against exact Jaccard
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,

@@ -781,3 +781,29 @@ def test_unigram_nll_planted(spark, tmp_path):
     # docs 0 and 2 tie on nll; doc_id breaks the tie -> 0 head, 2 middle
     assert got == [(0, 3, e0, "head"), (1, 2, e1, "tail"),
                    (2, 3, e0, "middle")]
+
+
+def test_pack_sequences_planted(spark, tmp_path):
+    """doc_pack_sequences: hand-computed concat-then-chunk coordinates —
+    a doc straddling a sequence boundary spans 2 sequences, sources pack
+    independently, and offsets restart per source."""
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(200)), "en", "s0", 0),
+        (1, " ".join(f"b{i}" for i in range(100)), "en", "s0", 0),
+        (2, " ".join(f"c{i}" for i in range(30)), "en", "s0", 0),
+        (3, " ".join(f"d{i}" for i in range(40)), "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in
+           text.doc_pack_sequences(spark, str(tmp_path)).collect()]
+    # (doc_id, source, n_tokens, start_off, first_seq, last_seq, spanned)
+    assert got == [
+        (0, "s0", 200, 0, 0, 0, 1),       # fits in seq 0 (tokens 0-199)
+        (1, "s0", 100, 200, 0, 1, 2),     # straddles 255|256 boundary
+        (2, "s0", 30, 300, 1, 1, 1),      # wholly in seq 1
+        (3, "s1", 40, 0, 0, 0, 1),        # s1 offsets restart at 0
+    ]
