@@ -754,6 +754,45 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str,
     )
 
 
+def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the rollup a curation dashboard
+    watches per refresh: doc and unique-text counts, exact-dup rate,
+    token volume, mean doc length, and language-label disagreement (the
+    same marker guess as doc_lang_guess). Ratios are floor-e6/e2
+    integers for cross-engine parity.
+
+    Scale notes: one hash aggregate on ``source`` (dimension-sized
+    output); the dup counter is COUNT(DISTINCT md5(text)), which Spark
+    plans as a two-phase partial-distinct aggregate — no separate dedup
+    pass. Scan-dominated; no skew surface beyond the hot-source
+    partial aggs, which map-side combine collapses."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    guess = F.lit("en")
+    for lang, pat in reversed(LANG_MARKERS):
+        hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+        guess = F.when(hits >= 2, F.lit(lang)).otherwise(guess)
+    per = (
+        d.select("source", "lang", toks.alias("n_tokens"),
+                 F.md5("text").alias("th"), guess.alias("guess"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("th").alias("n_unique_texts"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.sum((F.col("guess") != F.col("lang")).cast("long"))
+             .alias("n_lang_mismatch"))
+    )
+    return (
+        per.withColumn("mean_tokens_e2",
+                       F.expr("(total_tokens * 100) div n_docs"))
+        .withColumn(
+            "dup_rate_e6",
+            F.floor((F.col("n_docs") - F.col("n_unique_texts"))
+                    .cast("double") / F.col("n_docs").cast("double") * 1e6))
+        .orderBy("source")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup": """
         SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
@@ -925,6 +964,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM budgeted WHERE cum_tokens <= 400 ORDER BY doc_id
     """,
 }
+
+ORACLE_SQL["doc_corpus_report"] = """
+    WITH g AS (
+      SELECT source, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             md5(text) AS th,
+             CASE
+               WHEN len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')) >= 2 THEN 'fr'
+               WHEN len(regexp_extract_all(text, '\\b(el|los|las|una|del)\\b')) >= 2 THEN 'es'
+               WHEN len(regexp_extract_all(text, '\\b(der|die|und|das|ein)\\b')) >= 2 THEN 'de'
+               ELSE 'en' END AS guess
+      FROM documents
+    ), per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT th) AS n_unique_texts,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN guess <> lang THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lang_mismatch
+      FROM g GROUP BY 1
+    )
+    SELECT source, n_docs, n_unique_texts, total_tokens, n_lang_mismatch,
+           (total_tokens * 100) // n_docs AS mean_tokens_e2,
+           CAST(FLOOR(CAST(n_docs - n_unique_texts AS DOUBLE)
+             / CAST(n_docs AS DOUBLE) * 1e6) AS BIGINT) AS dup_rate_e6
+    FROM per ORDER BY source
+"""
 
 ORACLE_SQL["doc_pack_sequences"] = """
     WITH x AS (
@@ -1104,6 +1169,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_unigram_nll": doc_unigram_nll,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_corpus_report": doc_corpus_report,
     # rows-only (hash-sketch) — verified in pytest against exact Jaccard
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_simhash_near_pairs": doc_simhash_near_pairs,

@@ -807,3 +807,26 @@ def test_pack_sequences_planted(spark, tmp_path):
         (2, "s0", 30, 300, 1, 1, 1),      # wholly in seq 1
         (3, "s1", 40, 0, 0, 0, 1),        # s1 offsets restart at 0
     ]
+
+
+def test_corpus_report_planted(spark, tmp_path):
+    """doc_corpus_report: hand-computed rollup — an exact dup pair, a
+    mislabeled-language doc, and integer-div mean length."""
+    fr = "le chat et la mer des bois"                       # 3 fr markers
+    rows = [
+        (0, "aa bb cc dd", "en", "s0", 0),
+        (1, "aa bb cc dd", "en", "s0", 0),                  # exact dup
+        (2, fr, "en", "s0", 0),                             # label en, reads fr
+        (3, "xx yy", "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: tuple(r) for r in
+           text.doc_corpus_report(spark, str(tmp_path)).collect()}
+    # s0: 3 docs, 2 unique, 4+4+7=15 tokens, 1 mismatch,
+    #     mean 15*100 div 3 = 500, dup floor(1/3*1e6) = 333333
+    assert got["s0"] == ("s0", 3, 2, 15, 1, 500, 333333)
+    assert got["s1"] == ("s1", 1, 1, 2, 0, 200, 0)
