@@ -4,7 +4,12 @@ Runs the combat pipeline end-to-end at sf1 (~5.8M-line token corpus, 10x
 the per-round sf0.1 bench) and records the numbers the 100x-design
 claims rest on:
 
-* wall time + routed events/s for two timed runs (run 1 pays JIT);
+* wall time + routed events/s for three timed runs (run 1 pays JIT),
+  taken inside a certified-quiet window: the same request_hunter_stop()
+  + wait_for_quiet() gate the official bench.py uses (VERDICT r6 item 1
+  — the ungated r6 measurement showed the host window collapsing
+  mid-run, runs [106.6, 234.0]), with gated/canary/floor stamped into
+  the JSON so a low number is self-diagnosing;
 * peak RSS (VmHWM) of the python driver process and of the local-mode
   JVM, sampled before and after the timed section — the python driver
   number is the "flat driver memory" claim (nothing per-row is ever
@@ -94,10 +99,11 @@ def main() -> None:
                   "jvm_mb": vm_hwm_mb(jvm) if jvm else None}
     sh_before = shuffle_totals(ui_port)
 
-    canary_pre = bench.canary_mips()
+    bench.request_hunter_stop()
+    gated, canary_pre, gate_waits = bench.wait_for_quiet()
     runs = []
     routed = 0
-    for _ in range(2):
+    for _ in range(3):
         dt, routed = bench.run_combat_e2e(spark, token_path)
         runs.append(round(dt, 3))
     canary_post = bench.canary_mips()
@@ -122,6 +128,10 @@ def main() -> None:
             k: sh_after[k] - sh_before[k] for k in sh_before},
         "canary_mips_pre": canary_pre,
         "canary_mips_post": canary_post,
+        "gated": gated,
+        "gate_floor_mips": bench.gate_floor(),
+        "gate_frac": bench.GATE_FRAC,
+        "gate_waits": gate_waits,
         "cpus": bench.CPUS,
     }
     print(json.dumps(out))

@@ -30,7 +30,11 @@ def _dec(col, scale: int = 2):
 
 def q1_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the damage-done rollup analogue (A2/A3):
-    conditional counts + exact sums per low-cardinality key."""
+    conditional counts + exact sums per low-cardinality key, plus the
+    fight start/stop analogue (A11: min/max timestamp per group —
+    absorbed the former minmax_month_rollup entry so every queries()
+    entry fits the driver's 50-row correctness cap, VERDICT r6 item 3).
+    One map-side-combining hash aggregate either way."""
     li = load(spark, sf_dir, "lineitem")
     disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
                                       - _dec("l_discount"))
@@ -44,57 +48,12 @@ def q1_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
             F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
             .alias("big_qty_rows"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd")
+            .alias("first_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd")
+            .alias("last_ship"),
         )
         .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-def route_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dispatch-table routing (P1): boolean route flags -> per-sink counts."""
-    ev = load(spark, sf_dir, "events")
-    is_err = F.col("event_type") == "error"
-    is_buy = F.col("event_type") == "purchase"
-    big = F.col("value") > 10.0
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((is_err & big).cast("int")).alias("big_errors"),
-            F.sum((is_buy & big).cast("int")).alias("big_purchases"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """players_set analogue (A9): distinct-set aggregation, deterministic."""
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("s_name")), "|")
-            .alias("suppliers"),
-            F.countDistinct("s_name").alias("n_suppliers"),
-        )
-        .orderBy("n_name")
-    )
-
-
-def minmax_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fight start/stop analogue (A11): min/max timestamps per group."""
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(
-            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
-            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("month_revenue"),
-        )
-        .orderBy("month")
     )
 
 
@@ -102,7 +61,11 @@ def minmax_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-hash-join enrichment (J1/J2): fact x small dims."""
+    """Broadcast-hash-join enrichment (J1/J2): fact x small dims, plus
+    the players_set analogue (A9: deterministic distinct-set aggregation
+    — absorbed the former collect_set_sorted entry, VERDICT r6 item 3).
+    collect_set is order-free; array_sort + array_join makes the string
+    deterministic under any shuffle order."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
@@ -115,7 +78,10 @@ def broadcast_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"),
-             F.count(F.lit(1)).alias("n_items"))
+             F.count(F.lit(1)).alias("n_items"),
+             F.array_join(F.array_sort(F.collect_set("s_name")), "|")
+             .alias("suppliers"),
+             F.countDistinct("s_name").alias("n_suppliers"))
         .orderBy("r_name", "n_name")
     )
 
@@ -162,19 +128,26 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def asof_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Healer-attribution shape (J5): last signup ts at-or-before each
-    purchase per user — as-of join as a carry-forward window."""
+    purchase per user — as-of join as a carry-forward window. Also
+    carries the threat-accumulation shape (A7: exact DECIMAL running sum
+    over the same window spec — absorbed the former running_value_sum
+    entry, VERDICT r6 item 3); the sum accumulates over ALL events, the
+    purchase filter only selects which rows are reported."""
     ev = load(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     signup_ts = F.max(F.when(F.col("event_type") == "signup",
                              F.col("ts"))).over(w)
+    running = F.sum(_dec("value")).over(w).cast("double")
     return (
         ev.withColumn("last_signup_ts", signup_ts)
+        .withColumn("running_value", running)
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id",
                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
                 F.date_format("last_signup_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-                .alias("last_signup_s"))
+                .alias("last_signup_s"),
+                "running_value")
         .orderBy("event_id")
     )
 
@@ -206,47 +179,29 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def running_value_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Threat-accumulation shape (A7): exact running sum per user."""
-    ev = load(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        ev.withColumn("running_value",
-                      F.sum(_dec("value")).over(w).cast("double"))
-        .select("event_id", "user_id", "running_value")
-        .orderBy("event_id")
-    )
-
-
 # ------------------------------------------------------------ pivot / unpivot
 
 
-def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gviz table pivot analogue (O4)."""
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gviz table pivot + dict->rows unpivot (O4), both directions in one
+    plan (merged the former pivot_status_counts and unpivot_stack entries,
+    VERDICT r6 item 3): counts are pivoted to a wide (priority x status)
+    frame — zero-filled, exactly what the reference's gviz tables render —
+    then stacked back to long form, so the result value-checks BOTH the
+    pivot fill semantics and the stack unpivot against the oracle's
+    cross-join reconstruction."""
     o = load(spark, sf_dir, "orders")
-    return (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
         .na.fill(0)
-        .orderBy("o_orderpriority")
-    )
-
-
-def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dict->rows unpivot (O4): wide metrics to long format via stack."""
-    c = load(spark, sf_dir, "customer")
-    agg = c.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
     )
     return (
-        agg.selectExpr(
-            "c_mktsegment",
-            "stack(2, 'n_customers', cast(n_customers as double), "
-            "'total_balance', total_balance) as (metric, value)")
-        .orderBy("c_mktsegment", "metric")
+        wide.selectExpr(
+            "o_orderpriority",
+            "stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (o_orderstatus, n)")
+        .orderBy("o_orderpriority", "o_orderstatus")
     )
 
 
@@ -282,40 +237,22 @@ ORACLE_SQL: dict[str, str] = {
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                    AS sum_disc_price,
                COUNT(*) AS count_order,
-               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_rows
+               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_rows,
+               strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+               strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-    """,
-    "route_fanout_counts": """
-        SELECT event_type, COUNT(*) AS n,
-               CAST(SUM(CASE WHEN event_type = 'error' AND value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_errors,
-               CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS big_purchases,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    "collect_set_sorted": """
-        SELECT n_name,
-               string_agg(DISTINCT s_name, '|' ORDER BY s_name) AS suppliers,
-               COUNT(DISTINCT s_name) AS n_suppliers
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY n_name
-    """,
-    "minmax_month_rollup": """
-        SELECT strftime(o_orderdate, '%Y-%m') AS month,
-               strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
-               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
-        FROM orders GROUP BY 1 ORDER BY month
     """,
     "broadcast_enrich_revenue": """
         SELECT r_name, n_name,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
                    AS revenue,
-               COUNT(*) AS n_items
+               COUNT(*) AS n_items,
+               string_agg(DISTINCT s_name, '|' ORDER BY s_name) AS suppliers,
+               COUNT(DISTINCT s_name) AS n_suppliers
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
@@ -354,12 +291,16 @@ ORACLE_SQL: dict[str, str] = {
           SELECT event_id, user_id, ts, event_type,
                  MAX(CASE WHEN event_type = 'signup' THEN ts END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+                         ROWS UNBOUNDED PRECEDING) AS last_signup_ts,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
           FROM events
         )
         SELECT event_id, user_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-               strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup_s
+               strftime(last_signup_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup_s,
+               running_value
         FROM x WHERE event_type = 'purchase' ORDER BY event_id
     """,
     "dedup_first_wins": """
@@ -377,48 +318,40 @@ ORACLE_SQL: dict[str, str] = {
           FROM orders
         ) WHERE rnk <= 3 ORDER BY o_custkey, rnk
     """,
-    "running_value_sum": """
-        SELECT event_id, user_id,
-               CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
-        FROM events ORDER BY event_id
-    """,
-    "pivot_status_counts": """
-        SELECT o_orderpriority,
-               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
-               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
-               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    "unpivot_stack": """
-        WITH a AS (
-          SELECT c_mktsegment, COUNT(*) AS n_customers,
-                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
-          FROM customer GROUP BY c_mktsegment
+    "pivot_unpivot_roundtrip": """
+        WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+        s AS (SELECT unnest(['F', 'O', 'P']) AS o_orderstatus),
+        c AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+          FROM orders GROUP BY 1, 2
         )
-        SELECT c_mktsegment, metric, value FROM (
-          SELECT c_mktsegment, 'n_customers' AS metric,
-                 CAST(n_customers AS DOUBLE) AS value FROM a
-          UNION ALL
-          SELECT c_mktsegment, 'total_balance', total_balance FROM a
-        ) ORDER BY c_mktsegment, metric
+        SELECT p.o_orderpriority, s.o_orderstatus,
+               COALESCE(c.n, 0) AS n
+        FROM p CROSS JOIN s
+        LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority
+                   AND c.o_orderstatus = s.o_orderstatus
+        ORDER BY p.o_orderpriority, s.o_orderstatus
     """,
 }
 
+# Sized with the rest of the engine to keep the TOTAL queries() registry
+# at <= 50 entries (the driver's per-round correctness cap), so EVERY
+# entry gets a rows+schema+hash row in CORRECTNESS_r{N}.json every round
+# (VERDICT r6 item 3). Former entries route_fanout_counts (S7/P1 — now
+# covered authoritatively by combat_route_counts), running_value_sum
+# (-> asof_carry_forward), collect_set_sorted (-> broadcast_enrich_
+# revenue), minmax_month_rollup (-> q1_pricing_rollup), and
+# pivot_status_counts/unpivot_stack (-> pivot_unpivot_roundtrip) were
+# merged, not dropped: their operator semantics are value-checked inside
+# the absorbing entries.
 QUERIES = {
     "q1_pricing_rollup": q1_pricing_rollup,
-    "route_fanout_counts": route_fanout_counts,
-    "collect_set_sorted": collect_set_sorted,
-    "minmax_month_rollup": minmax_month_rollup,
     "broadcast_enrich_revenue": broadcast_enrich_revenue,
     "customer_order_join_topk": customer_order_join_topk,
     "sessionize_gap": sessionize_gap,
     "asof_carry_forward": asof_carry_forward,
     "dedup_first_wins": dedup_first_wins,
     "topk_per_group": topk_per_group,
-    "running_value_sum": running_value_sum,
-    "pivot_status_counts": pivot_status_counts,
-    "unpivot_stack": unpivot_stack,
+    "pivot_unpivot_roundtrip": pivot_unpivot_roundtrip,
     "point_lookup_order": point_lookup_order,
 }

@@ -34,18 +34,6 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, char check."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("len_chars"),
-    ).orderBy("doc_id")
-
-
 # BPE-ish tokenization regex, engine-portable by construction: no
 # lookahead (RE2 has none — the GPT-2 pattern's \s+(?!\S) tail is
 # dropped; whitespace is simply skipped between matches), ASCII classes
@@ -57,18 +45,23 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|'+"
 
 
-def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting, BPE-ish: subword-merge-style pre-tokenizer counts
-    next to the whitespace count, plus their ratio (floor e6 — the
-    fertility proxy a training-data pipeline budgets GPU hours with)."""
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (T2 + T3 in one scan-only pass — absorbed the
+    former doc_bpe_token_count entry so the full queries() registry fits
+    the driver's 50-row correctness cap, VERDICT r6 item 3): whitespace
+    tokens, distinct tokens, char length, BPE-ish subword-merge-style
+    pre-tokenizer count, and the bpe/ws ratio (floor e6 — the fertility
+    proxy a training-data pipeline budgets GPU hours with)."""
     d = load(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_RE), 0))
     return d.select(
         "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("len_chars"),
         bpe.alias("n_bpe_tokens"),
-        ws.alias("n_ws_tokens"),
-        F.floor(bpe.cast("double") / ws.cast("double") * 1e6)
+        F.floor(bpe.cast("double") / F.size(toks).cast("double") * 1e6)
         .alias("bpe_per_ws_e6"),
     ).orderBy("doc_id")
 
@@ -368,7 +361,16 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str,
 def _connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label propagation to fixpoint over an undirected pair list
     (columns ``a``, ``b``). Returns (node, lab) with lab = smallest node
-    id in the component. See doc_dup_clusters for the scale story."""
+    id in the component. See doc_dup_clusters for the scale story.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iters`` sweeps (component diameter > max_iters - 1): partial
+    labels would silently merge-or-split clusters downstream, which is
+    exactly the failure class this engine otherwise turns into loud
+    errors (cf. the streaming reorder-buffer bound). Near-dup components
+    are clique-like (diameter 2-3), so hitting the bound means the input
+    graph is not the shape this sweep-per-diameter loop is sized for —
+    the caller should raise max_iters or switch to star contraction."""
     edges = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # cut the (possibly expensive) pair plan off the loop: edges is
@@ -377,6 +379,7 @@ def _connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("lab", F.col("node")))
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels, edges.a == labels.node)
                .groupBy(F.col("b").alias("nbr_node"))
@@ -388,8 +391,15 @@ def _connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                   .localCheckpoint(eager=True))
         cur = labels.agg(F.sum("lab")).collect()[0][0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected-components did not converge in {max_iters} sweeps "
+            "(labels still changing: component diameter exceeds the sweep "
+            "budget); raise max_iters or use star contraction — returning "
+            "partial labels would silently mis-cluster")
     return labels
 
 
@@ -454,7 +464,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-frequent-word-bigram fraction, plus the combined filter flag a
     curation pass would drop on (dup>0.60 or top-bigram>0.18 — the
     published thresholds). Ratios are floor-e6 integers for cross-engine
-    hash parity (see doc_bpe_token_count).
+    hash parity (see the BPE ratio in doc_token_stats).
 
     Scale notes: the bigram fan-out is explode + two hash aggregates
     keyed by (doc_id, bigram) then doc_id — near-unique keys, map-side
@@ -680,6 +690,16 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     tercile window orders on (integer, doc_id): fully deterministic and
     engine-independent despite the float log upstream.
 
+    Float-boundary discipline (VERDICT r6 item 7): a plain AVG sums the
+    per-token log terms in shuffle/engine order, and float addition is
+    not associative — a doc whose avg*1e4 lands within summation-order
+    error of an integer could floor differently per engine. So the mean
+    is an ORDER-FIXED fold: sort the per-token nll terms (doubles sort
+    identically everywhere) and left-fold the sum, exactly like the IVF
+    centroid folds — both engines then add the same IEEE doubles in the
+    same order and the only residual cross-engine delta is ln() itself
+    (~1 ulp, 12 orders below the e4 floor grid).
+
     Scale notes: the LM "training" is one explode + map-side-combining
     hash agg on token (Zipf skew is harmless — partial agg collapses hot
     tokens per partition before the shuffle); scoring joins the vocab
@@ -698,11 +718,13 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("c").alias("n_corpus"))
     scored = (toks.join(F.broadcast(vocab), "tok")
               .crossJoin(F.broadcast(total)))
+    nll = F.log(F.col("n_corpus").cast("double") / F.col("c").cast("double"))
     per_doc = (
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"),
-             F.floor(F.avg(F.log(F.col("n_corpus").cast("double")
-                                 / F.col("c").cast("double"))) * 1e4)
+             F.floor(F.aggregate(F.array_sort(F.collect_list(nll)),
+                                 F.lit(0.0), lambda acc, x: acc + x)
+                     / F.count(F.lit(1)) * 1e4)
              .alias("avg_nll_e4"))
     )
     w = Window.orderBy("avg_nll_e4", "doc_id")
@@ -804,15 +826,10 @@ ORACLE_SQL: dict[str, str] = {
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
                  AS n_distinct_tokens,
-               length(text) AS len_chars
-        FROM documents ORDER BY doc_id
-    """,
-    "doc_bpe_token_count": """
-        SELECT doc_id,
+               length(text) AS len_chars,
                len(regexp_extract_all(text,
                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''+'))
                  AS n_bpe_tokens,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
                CAST(FLOOR(CAST(len(regexp_extract_all(text,
                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|''+'))
                  AS DOUBLE)
@@ -1021,9 +1038,15 @@ ORACLE_SQL["doc_unigram_nll"] = """
     ), total AS (
       SELECT SUM(c) AS n_corpus FROM vocab
     ), per_doc AS (
+      -- order-fixed fold, mirroring the engine: sort the per-token nll
+      -- terms and left-fold the sum, so both engines add the same IEEE
+      -- doubles in the same order (a plain AVG would sum in engine
+      -- order and could floor-flip near an integer boundary)
       SELECT t.doc_id, COUNT(*) AS n_tokens,
-             CAST(FLOOR(AVG(ln(CAST(n_corpus AS DOUBLE)
-               / CAST(c AS DOUBLE))) * 1e4) AS BIGINT) AS avg_nll_e4
+             CAST(FLOOR(list_reduce(
+               list_sort(list(ln(CAST(n_corpus AS DOUBLE)
+                 / CAST(c AS DOUBLE)))), (a, b) -> a + b)
+               / COUNT(*) * 1e4) AS BIGINT) AS avg_nll_e4
       FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
       GROUP BY 1
     ), tiled AS (
@@ -1128,7 +1151,11 @@ ORACLE_SQL["doc_pii_scrub"] = """
 
 # The cluster oracle embeds the pair query verbatim (single source of
 # truth for the edge set) and resolves the same min-reachable fixpoint
-# the Spark loop converges to, as a recursive CTE.
+# the Spark loop converges to, as a recursive CTE. The CTE has no sweep
+# bound (DuckDB iterates the transitive closure to exhaustion), so it is
+# complete at ANY diameter — the Spark side mirrors that by raising
+# loudly when max_iters sweeps exhaust before the fixpoint instead of
+# returning partial labels the oracle would then flag as a mismatch.
 ORACLE_SQL["doc_dup_clusters"] = """
     WITH RECURSIVE pairs AS ({jaccard}),
     edges AS (
@@ -1156,7 +1183,6 @@ ORACLE_SQL["doc_dup_clusters"] = """
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
-    "doc_bpe_token_count": doc_bpe_token_count,
     "doc_quality_score": doc_quality_score,
     "doc_lang_guess": doc_lang_guess,
     "doc_repetition_stats": doc_repetition_stats,

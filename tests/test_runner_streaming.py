@@ -735,3 +735,50 @@ def test_doc_stream_dedup_matches_batch(spark, tmp_path):
         r["keep_doc_id"]
         for r in text.doc_exact_dedup(spark, str(tmp_path)).collect())
     assert stream_ids == batch_ids == [0, 1, 3]
+
+
+def test_doc_stream_dedup_watermark_readmission(spark, tmp_path):
+    """The documented state/recall trade (doc_stream.py module docstring,
+    VERDICT r6 item 4): a duplicate whose hash state was evicted by the
+    watermark (event time advanced past first-seen ts + delay) is
+    RE-ADMITTED to the sink — bounded state costs late recall — and the
+    batch doc_exact_dedup pass over the sink catches exactly that row."""
+    from datetime import datetime
+
+    from team_goldo_combat_log_parser_spark.operators import text
+    from team_goldo_combat_log_parser_spark.streaming.doc_stream import (
+        DOC_STREAM_SCHEMA, run_doc_dedup_once)
+
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def feed(rows):
+        spark.createDataFrame(rows, DOC_STREAM_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+
+    # pass 1: "alpha beta" first seen at 12:00; state expiry 12:10
+    feed([(0, "alpha beta", "en", "s0", 0, datetime(2026, 1, 1, 12, 0, 0))])
+    r1 = run_doc_dedup_once(spark, in_dir, ck, out).collect()
+    assert sorted(r["doc_id"] for r in r1) == [0]
+
+    # pass 2: unrelated doc at 13:00 advances the watermark to 12:50,
+    # past the 12:10 expiry — the alpha hash state is evicted
+    feed([(1, "filler text", "en", "s0", 0, datetime(2026, 1, 1, 13, 0, 0))])
+    r2 = run_doc_dedup_once(spark, in_dir, ck, out).collect()
+    assert sorted(r["doc_id"] for r in r2) == [0, 1]
+
+    # pass 3: the duplicate returns at 13:05 (within the watermark, but
+    # its state is gone) — re-admitted, as the module docstring trades
+    feed([(2, "alpha beta", "en", "s1", 0, datetime(2026, 1, 1, 13, 5, 0))])
+    r3 = run_doc_dedup_once(spark, in_dir, ck, out).collect()
+    assert sorted(r["doc_id"] for r in r3) == [0, 1, 2]
+
+    # the batch pass behind the stream catches the re-admitted copy:
+    # one hash row for "alpha beta" keeping doc 0 with 2 copies
+    spark.read.parquet(out).select(
+        "doc_id", "text", "lang", "source", "n_chars").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    dedup = {r["keep_doc_id"]: r["n_copies"]
+             for r in text.doc_exact_dedup(spark, str(tmp_path)).collect()}
+    assert dedup == {0: 2, 1: 1}

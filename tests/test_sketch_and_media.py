@@ -561,6 +561,21 @@ def test_connected_components_path_graph(spark):
     assert got[30] == got[31] == 30
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A component whose diameter exceeds the sweep budget must raise,
+    not return silently-partial labels (VERDICT r6 'what's wrong' #2):
+    a 24-node path needs 23 sweeps + 1 confirming sweep, so max_iters=20
+    exhausts mid-propagation. The same graph with the budget raised
+    converges to the single component."""
+    edges = [(i, i + 1) for i in range(23)]         # path 0-1-...-23
+    df = spark.createDataFrame(edges, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        text._connected_components(df, max_iters=20).collect()
+    got = {r["node"]: r["lab"]
+           for r in text._connected_components(df, max_iters=30).collect()}
+    assert got == {n: 0 for n in range(24)}
+
+
 def test_dup_clusters_groups_transitive_pairs(spark, near_dup_dir):
     """On the planted near-dup corpus every (3k, 3k+1) base/near pair must
     land in one cluster with rep 3k; unrelated docs stay out."""
@@ -781,6 +796,42 @@ def test_unigram_nll_planted(spark, tmp_path):
     # docs 0 and 2 tie on nll; doc_id breaks the tie -> 0 head, 2 middle
     assert got == [(0, 3, e0, "head"), (1, 2, e1, "tail"),
                    (2, 3, e0, "middle")]
+
+
+def test_unigram_nll_no_floor_boundary_docs(sf01):
+    """Cross-engine floor-flip guard (VERDICT r6 item 7): on the driver's
+    oracle corpus no doc's avg_nll*1e4 may sit within 1e-6 of an integer
+    floor boundary — combined with the order-fixed fold (both engines add
+    the same sorted doubles, so their sums differ only by ln() ulps,
+    ~1e-12 at this grid), a flip is then impossible. Recomputed here in
+    pure Python with the same sorted-fold order the engine and the
+    DuckDB oracle use."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf01}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    counts: dict[str, int] = {}
+    toks_by_doc = {}
+    for doc_id, txt in rows:
+        toks = txt.strip().split()
+        toks_by_doc[doc_id] = toks
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    n_corpus = sum(counts.values())
+    worst = 1.0
+    for doc_id, toks in toks_by_doc.items():
+        terms = sorted(math.log(n_corpus / counts[t]) for t in toks)
+        acc = 0.0
+        for t in terms:
+            acc += t
+        scaled = acc / len(toks) * 1e4
+        dist = min(scaled - math.floor(scaled),
+                   math.ceil(scaled) - scaled)
+        worst = min(worst, dist)
+    assert worst > 1e-6, f"doc sits {worst} from a floor boundary"
 
 
 def test_pack_sequences_planted(spark, tmp_path):
