@@ -195,7 +195,11 @@ QUERY_BENCHES = {
     "emb_lsh_ann": similarity.emb_lsh_ann,
     # round 5: train/serve split — run 1 pays the (sampled) Lloyd
     # training, run 2 serves from the memoized model; min-of-2 therefore
-    # reports the serve-path cost, the steady-state number
+    # reports the serve-path cost, the steady-state number. Round 7: K
+    # is now derived (ivf_k_for: sqrt(n) -> 45 cells at sf0.1's 2000
+    # vectors vs the old fixed 16), so the serve path scans ~nprobe/K =
+    # 9% of the corpus instead of 25% — expect this entry to get faster
+    # at larger SF, which is the point of the rule
     "emb_ivf_ann": similarity.emb_ivf_ann,
     "emb_cosine_near_dup": similarity.emb_cosine_near_dup,
 }

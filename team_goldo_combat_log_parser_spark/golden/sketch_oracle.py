@@ -329,10 +329,12 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
     array_sort + F.aggregate double fold), cosine assignment of the full
     corpus against SUM centroids (scale-invariant — no division ever
     computed), nprobe probing, and the exact left-fold cosine re-rank —
-    rendered as VALUES."""
+    rendered as VALUES. K is derived from the corpus size with the same
+    ivf_k_for the engine uses (round 7 — the sqrt(n) rule as code), so
+    the two sides agree at any corpus scale."""
     from ..operators.similarity import (
-        IVF_ITERS, IVF_K, IVF_NPROBE, IVF_TRAIN_TARGET, N_QUERIES, TOP_K,
-        _ivf_seed_ids)
+        IVF_ITERS, IVF_NPROBE, IVF_TRAIN_TARGET, N_QUERIES, TOP_K,
+        _ivf_seed_ids, ivf_k_for)
 
     sf_dir = _sf_dir(sf_dir)
     raw = duckdb.sql(
@@ -354,7 +356,7 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
         # (gapped ids) falls back to the full corpus
         tidx = list(range(len(ids)))
     tids = [ids[i] for i in tidx]  # ascending (ids is sorted)
-    seed_ids = _ivf_seed_ids(tids, IVF_K)
+    seed_ids = _ivf_seed_ids(tids, ivf_k_for(len(ids)))
     cents = np.stack([m[ids.index(s)] for s in seed_ids])
     k_eff = cents.shape[0]
 

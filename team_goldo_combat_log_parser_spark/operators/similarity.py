@@ -10,6 +10,7 @@ same banding trick as MinHash-LSH for text.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -199,18 +200,36 @@ def emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ IVF ANN (scale path 2)
 
-# Coarse quantizer: IVF_K cells, stride-seeded, IVF_ITERS Lloyd rounds.
-# Everything is DETERMINISTIC by construction so the sequential oracle
-# reproduces it bit-for-bit: (1) assignment compares cosine to the cell's
+# Coarse quantizer: K cells (derived from corpus size by default, see
+# ivf_k_for), stride-seeded, IVF_ITERS Lloyd rounds. Everything is
+# DETERMINISTIC by construction so the sequential oracle reproduces it
+# bit-for-bit: (1) assignment compares cosine to the cell's
 # SUM vector (cosine is scale-invariant, so the mean's division — whose
 # decimal scale semantics differ per engine — is never computed);
 # (2) cell sums are order-fixed folds over vec_id-sorted members
 # (array_sort(collect_list) + left-fold), not a shuffle-order SUM;
 # (3) the training sample is a vec_id modulus, not df.sample() (whose
-# row order dependence no oracle could reproduce).
-IVF_K = 16
+# row order dependence no oracle could reproduce);
+# (4) K itself is a pure function of the corpus row count.
+IVF_K = 16  # legacy fixed K, kept as an explicit override for experiments
+IVF_K_MIN = 4
+IVF_K_MAX = 65536
 IVF_NPROBE = 4
 IVF_ITERS = 2
+
+
+def ivf_k_for(n: int) -> int:
+    """Cell count for an n-vector corpus: K ~ sqrt(n) (round-7 — was
+    prose in the emb_ivf_ann docstring, now the derived default). With
+    K = sqrt(n) and fixed nprobe the candidate set per query is
+    ~ nprobe * sqrt(n): sub-linear serve cost as the corpus grows. To
+    HOLD recall while the corpus grows instead, scale nprobe with K
+    (constant nprobe/K scan fraction — still a K/nprobe-fold saving
+    over brute force); BENCH/IVF_RECALL.md records the measured
+    recall@nprobe curve at two corpus sizes. Clamped to
+    [IVF_K_MIN, IVF_K_MAX]; the sequential oracle derives K with this
+    same function, so engine and oracle agree at any corpus size."""
+    return max(IVF_K_MIN, min(IVF_K_MAX, round(math.sqrt(max(n, 1)))))
 # Lloyd runs on a bounded deterministic sample (vec_id % mod == 0, mod
 # sized so ~IVF_TRAIN_TARGET rows survive); only ASSIGNMENT of the full
 # corpus stays full-scale — the standard IVF train/serve split. At 10^12
@@ -261,19 +280,24 @@ def _ivf_assign_udf(cents: np.ndarray):
     return assign
 
 
-def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+def ivf_train_centroids(spark: SparkSession, sf_dir: str,
+                        k: int | None = None) -> np.ndarray:
     """Train the coarse quantizer distributed, on a bounded sample: keep
     vec_id % mod == 0 rows (mod sized for ~IVF_TRAIN_TARGET survivors —
     deterministic, so the sequential oracle reproduces it), seed by
     position stride over the sorted sample ids, then IVF_ITERS Lloyd
     rounds of (distributed assignment -> per-cell order-fixed component
     folds -> K x dim driver-side model update). Only the K x dim centroid
-    state and the sample id list ever reach the driver."""
+    state and the sample id list ever reach the driver. ``k`` defaults
+    to ivf_k_for(corpus size) — the sqrt(n) rule as code; pass a fixed
+    value to pin the quantizer width (e.g. for A/B recall curves)."""
     _ivf_train_stats["train_runs"] += 1
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = e.count()
     if n == 0:
         raise ValueError("cannot train an IVF model on an empty corpus")
+    if k is None:
+        k = ivf_k_for(n)
     mod = max(n // IVF_TRAIN_TARGET, 1)
     train = e.filter((F.col("vec_id") % mod) == 0) if mod > 1 else e
     ids = sorted(r["vec_id"] for r in train.select("vec_id").collect())
@@ -284,7 +308,7 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
         # advice). Deterministic, and the oracle mirrors the fallback.
         train = e
         ids = sorted(r["vec_id"] for r in train.select("vec_id").collect())
-    seed_ids = _ivf_seed_ids(ids, IVF_K)
+    seed_ids = _ivf_seed_ids(ids, k)
     seeds = {r["vec_id"]: r["embedding"]
              for r in train.filter(F.col("vec_id").isin(seed_ids)).collect()}
     cents = np.stack([np.asarray(seeds[i], dtype=np.float64)
@@ -362,20 +386,25 @@ def _corpus_dim(spark: SparkSession, sf_dir: str) -> int | None:
 
 
 def ivf_model(spark: SparkSession, sf_dir: str,
-              model_path: str | None = None) -> np.ndarray:
+              model_path: str | None = None,
+              k: int | None = None) -> np.ndarray:
     """Load-or-train: in-memory memo per (corpus dir, corpus
-    fingerprint), then the persisted parquet model if ``model_path`` is
-    given, readable, AND shape-valid for this corpus (centroid dim ==
-    embedding dim, cell count <= IVF_K — a model trained on a different
+    fingerprint, K), then the persisted parquet model if ``model_path``
+    is given, readable, AND shape-valid for this corpus (centroid dim ==
+    embedding dim, cell count <= K — a model trained on a different
     corpus would otherwise fail later with an opaque matmul shape error
     or silently mis-assign cells), then a fresh training run (persisted
     back to ``model_path`` when given). One train, many queries —
-    ``emb_ivf_ann`` never re-runs Lloyd for a corpus this session."""
+    ``emb_ivf_ann`` never re-runs Lloyd for a corpus this session.
+    ``k`` defaults to ivf_k_for(corpus size)."""
     import logging
     import os
 
     log = logging.getLogger(__name__)
-    key = f"{os.path.realpath(sf_dir)}|{_corpus_fingerprint(sf_dir)}"
+    if k is None:
+        k = ivf_k_for(
+            load(spark, sf_dir, "embeddings").select("vec_id").count())
+    key = f"{os.path.realpath(sf_dir)}|{_corpus_fingerprint(sf_dir)}|k={k}"
     cents = _ivf_model_cache.get(key)
     if cents is None and model_path is not None:
         try:
@@ -387,14 +416,14 @@ def ivf_model(spark: SparkSession, sf_dir: str,
         if cents is not None:
             dim = _corpus_dim(spark, sf_dir)
             if ((dim is not None and cents.shape[1] != dim)
-                    or cents.shape[0] > IVF_K):
+                    or cents.shape[0] > k):
                 log.warning(
                     "IVF model at %s has shape %s but corpus dim is %s "
                     "(K=%d) — rejecting and retraining",
-                    model_path, cents.shape, dim, IVF_K)
+                    model_path, cents.shape, dim, k)
                 cents = None
     if cents is None:
-        cents = ivf_train_centroids(spark, sf_dir)
+        cents = ivf_train_centroids(spark, sf_dir, k=k)
         if model_path is not None:
             save_ivf_model(spark, cents, model_path)
     _ivf_model_cache[key] = cents
@@ -403,16 +432,20 @@ def ivf_model(spark: SparkSession, sf_dir: str,
 
 def emb_ivf_ann(spark: SparkSession, sf_dir: str,
                 nprobe: int = IVF_NPROBE,
-                model_path: str | None = None) -> DataFrame:
+                model_path: str | None = None,
+                k: int | None = None) -> DataFrame:
     """IVF approximate NN — the second scale path next to the LSH one:
     vectors are bucketed by nearest coarse centroid (inverted file), a
     query probes its ``nprobe`` nearest cells, and the exact left-fold
     cosine re-ranks candidates only. The candidate join is an equi-join
-    on cell id; candidates per query ~ nprobe * n / K, independent of
-    how the corpus grows if K grows with it (K ~ sqrt(n) rule). The
+    on cell id; candidates per query ~ nprobe * n / K. ``k`` defaults
+    to ivf_k_for(corpus size) — K = sqrt(n) as code (round 7), so the
+    candidate set stays ~ nprobe * sqrt(n) as the corpus grows; the
+    sequential oracle (sketch_oracle.ivf_ann_sql) derives K identically,
+    so the driver's value-parity gate holds at any corpus size. The
     model comes from ``ivf_model`` (load-or-train, memoized) — no Lloyd
     pass on the query path."""
-    cents = ivf_model(spark, sf_dir, model_path=model_path)
+    cents = ivf_model(spark, sf_dir, model_path=model_path, k=k)
     k_eff = cents.shape[0]
     nprobe = min(nprobe, k_eff)
     e = load(spark, sf_dir, "embeddings")

@@ -470,3 +470,22 @@ def sample_file_log(path: str = "/root/reference/sample_file/"
     with open(path, encoding="iso-8859-1") as fh:
         lines = [ln.rstrip("\n").rstrip("\r") for ln in fh]
     return path.rsplit("/", 1)[-1], [ln for ln in lines if ln]
+
+
+def clustered_embeddings(n: int, dim: int = 16, n_clusters: int = 64,
+                         noise: float = 0.05, seed: int = 7):
+    """Seeded planted-cluster embedding corpus for ANN recall studies
+    (tests + BENCH/IVF_RECALL.md): ``n_clusters`` unit-norm centers,
+    point i = center[i % n_clusters] + gaussian noise. True cosine
+    neighbors are overwhelmingly within-cluster, so an IVF quantizer's
+    recall directly measures how well its cells track the clusters.
+    Returns (ids, matrix) as (list[int], numpy float32 [n, dim]).
+    Deterministic: numpy default_rng(seed), no wall clock."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(n) % n_clusters] \
+        + noise * rng.normal(size=(n, dim))
+    return list(range(n)), pts.astype("float32")

@@ -344,7 +344,7 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf001):
     probing every cell must recover (nearly) the exact result — the
     measured recall-vs-nprobe curve, not just the single default point."""
     from team_goldo_combat_log_parser_spark.operators.similarity import (
-        IVF_K, TOP_K, emb_cosine_topk, emb_ivf_ann)
+        TOP_K, emb_cosine_topk, emb_ivf_ann)
 
     exact = {}
     for r in emb_cosine_topk(spark, sf001).collect():
@@ -357,11 +357,61 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf001):
         rs = [len(got.get(q, set()) & exact[q]) / TOP_K for q in exact]
         return sum(rs) / len(rs)
 
-    r1, r4, rall = recall(1), recall(4), recall(IVF_K)
+    # nprobe is clamped to the (derived) cell count, so 10**6 = all cells
+    r1, r4, rall = recall(1), recall(4), recall(10**6)
     assert r1 <= r4 + 1e-9 and r4 <= rall + 1e-9, (r1, r4, rall)
     # all cells probed == every candidate scored: exact modulo double-vs-
     # decimal scoring ties
     assert rall >= 0.95, rall
+
+
+def test_ivf_scaled_k_beats_fixed_k_at_10x(spark, tmp_path):
+    """The sqrt(n) K rule as measurement (VERDICT r6 item 6): on a 10x
+    planted-cluster corpus (n=4000, 64 overlapping clusters, noise 0.45)
+    the derived K (ivf_k_for(4000)=63) at the SAME scan fraction as the
+    legacy fixed config (nprobe/K = 4/16 -> nprobe=16/63) must recall at
+    least as much as fixed K=16 — finer cells track the clusters better
+    at equal candidate budget. Measured margins are wide (~0.98 vs
+    ~0.78); asserted with headroom. Ground truth is an independent numpy
+    brute force."""
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+    from team_goldo_combat_log_parser_spark.sources.datagen import (
+        clustered_embeddings)
+
+    n = 4000
+    ids, mat = clustered_embeddings(n, noise=0.45)
+    d = str(tmp_path / "corpus10x")
+    import os
+
+    os.makedirs(d)
+    _write_embeddings(f"{d}/embeddings.parquet", ids, mat)
+
+    m = mat.astype(np.float64)
+    nrm = np.linalg.norm(m, axis=1)
+    cos = (m[:sim.N_QUERIES] @ m.T) / np.outer(nrm[:sim.N_QUERIES], nrm)
+    exact = {}
+    for q in range(sim.N_QUERIES):
+        order = sorted(range(n), key=lambda j: (-cos[q, j], j))
+        exact[q] = set(j for j in order if j != q)
+        exact[q] = set(sorted(exact[q],
+                              key=lambda j: (-cos[q, j], j))[:sim.TOP_K])
+
+    def recall(**kw):
+        got = {}
+        for r in sim.emb_ivf_ann(spark, d, **kw).collect():
+            got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+        rs = [len(got.get(q, set()) & exact[q]) / sim.TOP_K for q in exact]
+        return sum(rs) / len(rs)
+
+    sim._ivf_model_cache.clear()
+    k_scaled = sim.ivf_k_for(n)
+    assert k_scaled == 63
+    np_eq = round(k_scaled * sim.IVF_NPROBE / sim.IVF_K)  # equal fraction
+    r_fixed = recall(k=sim.IVF_K, nprobe=sim.IVF_NPROBE)
+    r_scaled = recall(nprobe=np_eq)  # derived K
+    sim._ivf_model_cache.clear()
+    assert r_scaled >= r_fixed, (r_scaled, r_fixed)
+    assert r_scaled >= 0.9, r_scaled
 
 
 def test_ivf_small_gapped_corpus_matches_oracle(spark, tmp_path):
