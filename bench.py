@@ -71,6 +71,16 @@ CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_FLOOR", "220"))
 QUIET_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC",
                                       "1800"))
 GATE_FRAC = 0.85
+# Round 7: the entry gate cannot see a window that COLLAPSES mid-run
+# (observed: gated:true at canary 187, post-canary 163, minhash 2.8x its
+# steady state). If the post-run canary is back below the gate line the
+# whole measurement re-runs (bounded retries, shorter re-gate budget);
+# the JSON keeps the per-query minimum across attempts plus every
+# attempt's canary bracket, so a collapse costs time, not truth.
+COLLAPSE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_COLLAPSE_RETRIES",
+                                      "1"))
+RETRY_QUIET_WAIT_SEC = float(os.environ.get(
+    "SPARK_GRAFT_BENCH_RETRY_QUIET_WAIT_SEC", "600"))
 
 
 def gate_floor() -> float:
@@ -95,17 +105,18 @@ def request_hunter_stop() -> None:
         pass
 
 
-def wait_for_quiet() -> tuple[bool, float, int]:
+def wait_for_quiet(budget_sec: float | None = None) -> tuple[bool, float, int]:
     """Poll the canary until it clears GATE_FRAC x CANARY_FLOOR or the
-    QUIET_WAIT_SEC budget runs out. Returns (gated, last_canary, waits);
-    the last reading doubles as canary_pre so the gate decision and the
-    bracketing field are the same sample."""
+    budget (default QUIET_WAIT_SEC) runs out. Returns (gated,
+    last_canary, waits); the last reading doubles as canary_pre so the
+    gate decision and the bracketing field are the same sample."""
     # the 220 M/s floor was established with a 32-proc canary; the canary
     # aggregate scales ~linearly with proc count below the core count, so
     # scale the floor to this run's CPUS to keep the gate meaningful at
     # lower parallelism (e.g. the sf0.001 smoke at CPUS=8)
     floor = gate_floor()
-    deadline = time.time() + QUIET_WAIT_SEC
+    deadline = time.time() + (QUIET_WAIT_SEC if budget_sec is None
+                              else budget_sec)
     waits = 0
     while True:
         c = canary_mips()
@@ -128,6 +139,19 @@ def canary_mips() -> float:
     with mp.Pool(CPUS) as p:
         r = p.map(_burn, range(CPUS))
     return round(sum(r) / 1e6, 1)
+
+
+def merge_attempts(attempts: list[dict]) -> tuple[dict, dict]:
+    """Per-query minimum across measurement attempts (the steady-state
+    estimator when an attempt caught a collapsing window), plus the
+    attempt owning the combat_e2e minimum (its run list and routed count
+    are the coherent bracket for the headline)."""
+    queries: dict[str, float] = {}
+    for a in attempts:
+        for name, v in a["queries"].items():
+            queries[name] = min(queries.get(name, float("inf")), v)
+    best_a = min(attempts, key=lambda a: a["queries"]["combat_e2e"])
+    return queries, best_a
 
 
 def sf_of(path: str) -> float:
@@ -223,27 +247,43 @@ def main() -> None:
     # min of three runs bracketed by CPU canaries: the first full-volume
     # pass still pays JIT compilation of the generated code; later runs
     # are steady state, and min-of-3 + the canary fields make one noisy
-    # window visible instead of masquerading as a regression
+    # window visible instead of masquerading as a regression. If the
+    # post-run canary shows the window collapsed mid-measurement, the
+    # whole attempt repeats (COLLAPSE_RETRIES) and every query keeps its
+    # minimum across attempts.
     request_hunter_stop()
-    gated, canary_pre, gate_waits = wait_for_quiet()
-    e2e_runs = []
-    routed = 0
-    for _ in range(3):
-        dt, routed = run_combat_e2e(spark, token_path)
-        e2e_runs.append(round(dt, 3))
-    canary_post = canary_mips()
-    e2e_cold, e2e_s = e2e_runs[0], min(e2e_runs)
-    queries["combat_e2e"] = round(e2e_s, 3)
+    attempts: list[dict] = []
+    for attempt in range(1 + COLLAPSE_RETRIES):
+        gated, canary_pre, gate_waits = wait_for_quiet(
+            None if attempt == 0 else RETRY_QUIET_WAIT_SEC)
+        a_runs = []
+        routed = 0
+        for _ in range(3):
+            dt, routed = run_combat_e2e(spark, token_path)
+            a_runs.append(round(dt, 3))
+        a_queries = {"combat_e2e": round(min(a_runs), 3)}
+        for name, fn in QUERY_BENCHES.items():
+            if QUERY_SUBSET and name not in QUERY_SUBSET:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+            a_queries[name] = round(best, 3)
+        canary_post = canary_mips()
+        attempts.append({
+            "queries": a_queries, "e2e_runs": a_runs, "routed": routed,
+            "gated": gated, "canary_pre": canary_pre,
+            "canary_post": canary_post, "gate_waits": gate_waits,
+        })
+        if canary_post >= GATE_FRAC * gate_floor():
+            break  # window held through the whole measurement
 
-    for name, fn in QUERY_BENCHES.items():
-        if QUERY_SUBSET and name not in QUERY_SUBSET:
-            continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        queries[name] = round(best, 3)
+    queries, best_a = merge_attempts(attempts)
+    e2e_runs, routed = best_a["e2e_runs"], best_a["routed"]
+    e2e_cold, e2e_s = e2e_runs[0], queries["combat_e2e"]
+    last = attempts[-1]
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -258,12 +298,15 @@ def main() -> None:
         "lines_per_sec": round(n_lines / e2e_s, 1),
         "combat_e2e_first_run_sec": round(e2e_cold, 3),
         "combat_e2e_runs_sec": e2e_runs,
-        "canary_mips_pre": canary_pre,
-        "canary_mips_post": canary_post,
-        "gated": gated,
+        "canary_mips_pre": last["canary_pre"],
+        "canary_mips_post": last["canary_post"],
+        "gated": last["gated"],
         "gate_floor_mips": gate_floor(),
         "gate_frac": GATE_FRAC,
-        "gate_waits": gate_waits,
+        "gate_waits": last["gate_waits"],
+        "collapse_retries": len(attempts) - 1,
+        "attempt_canaries": [[a["canary_pre"], a["canary_post"]]
+                             for a in attempts],
         "cpus": CPUS,
     }
     print(json.dumps(out))

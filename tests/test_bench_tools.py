@@ -69,3 +69,34 @@ def test_bench_quiet_gate(monkeypatch):
     monkeypatch.setattr(bench, "QUIET_WAIT_SEC", 50.0)
     gated, canary, waits = bench.wait_for_quiet()
     assert gated is False and canary == 100.0
+
+    # an explicit budget overrides QUIET_WAIT_SEC (the shorter re-gate
+    # used by collapse retries)
+    t = iter([0.0, 1.0, 2.0, 700.0, 701.0])
+    monkeypatch.setattr(bench.time, "time", lambda: next(t))
+    gated, canary, _w = bench.wait_for_quiet(budget_sec=600.0)
+    assert gated is False
+
+
+def test_bench_merge_attempts():
+    """Round-7 collapse-retry protocol: per-query minimum across
+    attempts (a mid-run host collapse inflates only the attempt it hit),
+    and the e2e bracket (run list, routed) follows the attempt owning
+    the combat_e2e minimum."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    collapsed = {"queries": {"combat_e2e": 13.5, "doc_minhash_lsh_pairs": 12.0,
+                             "emb_ivf_ann": 1.1},
+                 "e2e_runs": [19.4, 13.5, 15.7], "routed": 790349,
+                 "gated": True, "canary_pre": 187.1, "canary_post": 163.4,
+                 "gate_waits": 13}
+    quiet = {"queries": {"combat_e2e": 10.4, "doc_minhash_lsh_pairs": 4.4,
+                         "emb_ivf_ann": 1.3},
+             "e2e_runs": [14.8, 10.4, 10.9], "routed": 790349,
+             "gated": True, "canary_pre": 210.0, "canary_post": 206.0,
+             "gate_waits": 0}
+    queries, best = bench.merge_attempts([collapsed, quiet])
+    assert queries == {"combat_e2e": 10.4, "doc_minhash_lsh_pairs": 4.4,
+                       "emb_ivf_ann": 1.1}
+    assert best is quiet  # owns the combat_e2e min -> coherent run list
