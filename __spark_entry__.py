@@ -4,7 +4,14 @@ entry(spark)      -> flagship: the full combat-log DAG (parse -> sessionize
                      -> route -> aggregate) over the deterministic corpus,
                      returning the pulls table.
 queries()         -> one callable per implemented operator (SURVEY.md par.2
-                     plus the training-data ops). Combat-grammar queries
+                     plus the training-data ops). INVARIANT (round 7): the
+                     registry holds at most 50 entries — the driver's
+                     per-round correctness check caps at 50 rows and takes
+                     them in dict order, so <= 50 means EVERY operator gets
+                     a rows+schema+hash row every round. When adding an
+                     operator, merge a near-duplicate demo into an
+                     absorbing query (see relational.QUERIES note) rather
+                     than exceeding the cap. Combat-grammar queries
                      synthesize their token-table input deterministically
                      (seeded; input shape per BASELINE.json input_hint) and
                      ARE value-checked: oracle_sql() registers a full DuckDB
