@@ -138,3 +138,32 @@ def test_mix_weights_broadcasts_grand_total(spark):
     assert "ShuffledHashJoin" not in plan, plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" in read and "doc_id" not in read and "lang" not in read, read
+
+
+def test_pivot_unpivot_roundtrip_zero_fill(spark, tmp_path):
+    """The driver corpus has every (priority, status) combo, so its
+    correctness row never exercises the pivot's na.fill(0) / the
+    oracle's COALESCE(n, 0) path. A synthetic orders table with a
+    missing combo must round-trip to an explicit zero row, identical in
+    both engines."""
+    import duckdb
+
+    from team_goldo_combat_log_parser_spark.operators.relational import (
+        ORACLE_SQL, pivot_unpivot_roundtrip)
+
+    rows = [(1, "1-URGENT", "F"), (2, "1-URGENT", "O"),
+            (3, "2-HIGH", "P")]  # 2-HIGH has no F/O; 1-URGENT no P
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+
+    got = [tuple(r) for r in
+           pivot_unpivot_roundtrip(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{tmp_path}/orders.parquet/*.parquet'")
+    want = [tuple(r) for r in
+            con.sql(ORACLE_SQL["pivot_unpivot_roundtrip"]).fetchall()]
+    assert got == want
+    assert ("2-HIGH", "F", 0) in got and ("1-URGENT", "P", 0) in got
