@@ -127,7 +127,7 @@ def main() -> int:
     # degradation for the baseline and launch into a bad window
     floor = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BEST_FLOOR", "0"))
     best_cap = max(bs.host_capacity(), bs.host_capacity(), floor)
-    label = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUND", "6")
+    label = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUND", "7")
     append_md(
         f"\n\n## Round-{label} automated quiet-window campaign log"
         f" (started {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"
@@ -189,10 +189,25 @@ def main() -> int:
             f"  ```\n  {rounds_log or '(no per-round log)'}\n  ```\n")
         log(f"attempt {attempt}: gated raw={raw} norm={result['value']}")
         if raw >= TARGET and result["gated_rounds"] >= 1:
+            # preserve the cumulative cross-round record: everything from
+            # the old file's first "## " heading survives under the new
+            # winning write-up (round 7 — the original os.replace dropped
+            # the round-4..6 evidence trail and had to be restored by hand)
+            old_hist = ""
+            try:
+                with open(BASELINE_MD) as fh:
+                    old_lines = fh.readlines()
+                i = next((j for j, ln in enumerate(old_lines)
+                          if ln.startswith("## ")), None)
+                if i is not None:
+                    old_hist = ("\n\n---\n\n# Prior campaign record "
+                                "(pre-pass)\n\n" + "".join(old_lines[i:]))
+            except OSError:
+                pass
             os.replace(md_path, BASELINE_MD)
             with open(BASELINE_MD, "a") as fh:
                 fh.write(
-                    f"\n**GATE MET (round 5, automated quiet-window "
+                    f"\n**GATE MET (round {label}, automated quiet-window "
                     f"campaign, {datetime.datetime.now():%Y-%m-%d %H:%M})**"
                     f": gated raw median **{raw} >= {TARGET}** at 1 vs 4 "
                     f"one-core executor JVMs, cache_lines=0 (the r3-proven "
@@ -203,6 +218,8 @@ def main() -> int:
                     f"{p['bw1_gbps']}->{p['bw4_gbps']} GB/s "
                     f"(x{p['bw_ratio']}) with no Spark alive. Full attempt "
                     f"log: BENCH/SCALING_DIST.md.\n")
+                if old_hist:
+                    fh.write(old_hist)
             append_md(f"\n**PASS** on attempt {attempt}: raw {raw} >= "
                       f"{TARGET} — promoted to BENCH/BASELINE.md.\n")
             log(f"PASS: raw {raw} — BENCH/BASELINE.md updated")
