@@ -167,3 +167,24 @@ def test_pivot_unpivot_roundtrip_zero_fill(spark, tmp_path):
             con.sql(ORACLE_SQL["pivot_unpivot_roundtrip"]).fetchall()]
     assert got == want
     assert ("2-HIGH", "F", 0) in got and ("1-URGENT", "P", 0) in got
+
+
+def test_merged_queries_add_no_shuffles(spark):
+    """The round-7 entry merges must not cost plan quality: the running
+    sum added to asof_carry_forward shares the as-of window's single
+    partition exchange (same (partition, order) spec -> one sort, no
+    second shuffle), and pivot_unpivot_roundtrip's scan prunes to the
+    two columns the pivot reads."""
+    import re
+
+    plan = plan_of(relational.asof_carry_forward(spark, SF))
+    # one data exchange for the user_id window + the presentation sort's
+    # rangepartitioning exchange — nothing else
+    nodes = [re.sub(r"^\s*\(\d+\)\s*", "", ln).strip()
+             for ln in plan.splitlines() if re.match(r"^\s*\(\d+\)", ln)]
+    assert nodes.count("Exchange") <= 2, nodes
+
+    plan = plan_of(relational.pivot_unpivot_roundtrip(spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderstatus" in read and "o_orderpriority" in read, read
+    assert "o_totalprice" not in read and "o_comment" not in read, read
