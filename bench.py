@@ -79,6 +79,17 @@ GATE_FRAC = 0.85
 # attempt's canary bracket, so a collapse costs time, not truth.
 COLLAPSE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_COLLAPSE_RETRIES",
                                       "1"))
+# Round 8 (VERDICT r7 what's-wrong #2): the r7 official bench exhausted
+# its single bounded wait in a degraded stretch and published an
+# ungated artifact that understated the engine ~40% vs the same-day
+# gated reading. The bench now keeps hunting like the autogate does:
+# an attempt whose window was NEVER certified (gated:false at entry)
+# is retried up to UNGATED_RETRIES more times, each behind a fresh
+# RETRY_QUIET_WAIT_SEC canary hunt — the merged JSON then embeds the
+# best gated attempt alongside any ungated ones (per-query owners +
+# attempt_canaries make each number's bracket explicit).
+UNGATED_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_UNGATED_RETRIES",
+                                     "2"))
 RETRY_QUIET_WAIT_SEC = float(os.environ.get(
     "SPARK_GRAFT_BENCH_RETRY_QUIET_WAIT_SEC", "600"))
 
@@ -141,17 +152,23 @@ def canary_mips() -> float:
     return round(sum(r) / 1e6, 1)
 
 
-def merge_attempts(attempts: list[dict]) -> tuple[dict, dict]:
+def merge_attempts(attempts: list[dict]) -> tuple[dict, dict, dict]:
     """Per-query minimum across measurement attempts (the steady-state
-    estimator when an attempt caught a collapsing window), plus the
-    attempt owning the combat_e2e minimum (its run list and routed count
-    are the coherent bracket for the headline)."""
+    estimator when an attempt caught a collapsing window), the attempt
+    owning the combat_e2e minimum (its run list and routed count are the
+    coherent bracket for the headline), and the owning attempt INDEX per
+    query (round-8 advice: a minimum measured during a collapsed attempt
+    must be traceable to its canary bracket — attempt_canaries records
+    the brackets, owners says which bracket each number lived in)."""
     queries: dict[str, float] = {}
-    for a in attempts:
+    owners: dict[str, int] = {}
+    for i, a in enumerate(attempts):
         for name, v in a["queries"].items():
-            queries[name] = min(queries.get(name, float("inf")), v)
+            if v < queries.get(name, float("inf")):
+                queries[name] = v
+                owners[name] = i
     best_a = min(attempts, key=lambda a: a["queries"]["combat_e2e"])
-    return queries, best_a
+    return queries, best_a, owners
 
 
 def sf_of(path: str) -> float:
@@ -253,7 +270,7 @@ def main() -> None:
     # minimum across attempts.
     request_hunter_stop()
     attempts: list[dict] = []
-    for attempt in range(1 + COLLAPSE_RETRIES):
+    for attempt in range(1 + COLLAPSE_RETRIES + UNGATED_RETRIES):
         gated, canary_pre, gate_waits = wait_for_quiet(
             None if attempt == 0 else RETRY_QUIET_WAIT_SEC)
         a_runs = []
@@ -277,13 +294,21 @@ def main() -> None:
             "gated": gated, "canary_pre": canary_pre,
             "canary_post": canary_post, "gate_waits": gate_waits,
         })
-        if canary_post >= GATE_FRAC * gate_floor():
-            break  # window held through the whole measurement
+        if gated and canary_post >= GATE_FRAC * gate_floor():
+            break  # certified window held through the whole measurement
+        # else: either the window was never certified (keep hunting, up
+        # to UNGATED_RETRIES) or it collapsed mid-run (COLLAPSE_RETRIES)
+        # — every attempt's numbers and canary bracket are kept either
+        # way, so extra attempts only ever add evidence
 
-    queries, best_a = merge_attempts(attempts)
+    queries, best_a, owners = merge_attempts(attempts)
     e2e_runs, routed = best_a["e2e_runs"], best_a["routed"]
     e2e_cold, e2e_s = e2e_runs[0], queries["combat_e2e"]
-    last = attempts[-1]
+    # top-level gated/canary fields describe the attempt that OWNS the
+    # headline number (round-8 advice) — not the last attempt, whose
+    # bracket may not be the one the reported minimum lived in; every
+    # other query's bracket is attempt_canaries[query_attempt_owner[q]]
+    last = best_a
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -300,11 +325,19 @@ def main() -> None:
         "combat_e2e_runs_sec": e2e_runs,
         "canary_mips_pre": last["canary_pre"],
         "canary_mips_post": last["canary_post"],
-        "gated": last["gated"],
+        # gated means: the headline's attempt opened in a certified-quiet
+        # window AND its post-run canary shows the window held — a
+        # minimum measured in a collapsed bracket can no longer surface
+        # under gated:true (round-8 advice)
+        "gated": bool(last["gated"]
+                      and last["canary_post"] >= GATE_FRAC * gate_floor()),
+        "headline_attempt": attempts.index(last),
+        "query_attempt_owner": owners,
         "gate_floor_mips": gate_floor(),
         "gate_frac": GATE_FRAC,
         "gate_waits": last["gate_waits"],
         "collapse_retries": len(attempts) - 1,
+        "n_attempts": len(attempts),
         "attempt_canaries": [[a["canary_pre"], a["canary_post"]]
                              for a in attempts],
         "cpus": CPUS,

@@ -127,7 +127,18 @@ def main() -> int:
     # degradation for the baseline and launch into a bad window
     floor = float(os.environ.get("SPARK_GRAFT_AUTOGATE_BEST_FLOOR", "0"))
     best_cap = max(bs.host_capacity(), bs.host_capacity(), floor)
-    label = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUND", "7")
+    # round label: env override, else derived from the newest driver
+    # bench artifact (BENCH_r{N}.json exists once round N ran -> we are
+    # in round N+1) — a hard-coded default went stale twice (r6, r8)
+    label = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUND", "")
+    if not label:
+        import glob
+        import re as _re
+
+        ns = [int(m.group(1)) for f in glob.glob(
+            os.path.join(REPO, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))]
+        label = str(max(ns) + 1) if ns else "?"
     append_md(
         f"\n\n## Round-{label} automated quiet-window campaign log"
         f" (started {datetime.datetime.now():%Y-%m-%d %H:%M})\n\n"

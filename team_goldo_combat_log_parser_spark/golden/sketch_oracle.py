@@ -333,8 +333,8 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
     ivf_k_for the engine uses (round 7 — the sqrt(n) rule as code), so
     the two sides agree at any corpus scale."""
     from ..operators.similarity import (
-        IVF_ITERS, IVF_NPROBE, IVF_TRAIN_TARGET, N_QUERIES, TOP_K,
-        _ivf_seed_ids, ivf_k_for)
+        IVF_ITERS, IVF_NPROBE, N_QUERIES, TOP_K,
+        _ivf_seed_ids, ivf_k_for, ivf_train_target)
 
     sf_dir = _sf_dir(sf_dir)
     raw = duckdb.sql(
@@ -349,7 +349,7 @@ def ivf_ann_sql(sf_dir: str | None = None) -> str:
     emb = {r[0]: [float(x) for x in r[1]] for r in raw}
     m = np.stack([np.asarray(emb[v], dtype=np.float64) for v in ids])
     dim = m.shape[1]
-    mod = max(len(ids) // IVF_TRAIN_TARGET, 1)
+    mod = max(len(ids) // ivf_train_target(len(ids)), 1)
     tidx = [i for i in range(len(ids)) if ids[i] % mod == 0]
     if not tidx:
         # mirror similarity.ivf_train_centroids: an empty modulus sample

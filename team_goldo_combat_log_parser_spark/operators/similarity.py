@@ -228,13 +228,34 @@ def ivf_k_for(n: int) -> int:
     over brute force); BENCH/IVF_RECALL.md records the measured
     recall@nprobe curve at two corpus sizes. Clamped to
     [IVF_K_MIN, IVF_K_MAX]; the sequential oracle derives K with this
-    same function, so engine and oracle agree at any corpus size."""
+    same function, so engine and oracle agree at any corpus size.
+    The derived K is always ACHIEVABLE because the training sample
+    scales with it (ivf_train_target: >= IVF_TRAIN_PER_CELL rows per
+    cell) — with the old flat 512-row sample, k_eff silently saturated
+    at ~512 past ~262k vectors and serve cost reverted to linear
+    (round-8 advice)."""
     return max(IVF_K_MIN, min(IVF_K_MAX, round(math.sqrt(max(n, 1)))))
 # Lloyd runs on a bounded deterministic sample (vec_id % mod == 0, mod
-# sized so ~IVF_TRAIN_TARGET rows survive); only ASSIGNMENT of the full
-# corpus stays full-scale — the standard IVF train/serve split. At 10^12
-# vectors training cost is O(sample), not O(corpus).
+# sized so ~ivf_train_target(n) rows survive); only ASSIGNMENT of the
+# full corpus stays full-scale — the standard IVF train/serve split. At
+# 10^12 vectors training cost is O(sample), not O(corpus).
 IVF_TRAIN_TARGET = 512
+# sample rows per trained cell: the k = sqrt(n) rule is only achievable
+# if the training sample holds at least k distinct seeds, so the sample
+# target must GROW with k (round-8 advice: a flat 512-row sample silently
+# capped k_eff at ~512 for any corpus past ~262k vectors, reverting the
+# serve cost to linear nprobe*n/512 while the docstrings claimed sqrt(n))
+IVF_TRAIN_PER_CELL = 8
+
+
+def ivf_train_target(n: int) -> int:
+    """Training-sample size for an n-vector corpus: at least
+    IVF_TRAIN_TARGET rows, and at least IVF_TRAIN_PER_CELL rows per
+    derived cell so ivf_k_for(n) seeds always fit the sample (k_eff
+    never saturates below the sqrt(n) rule; the driver-side id collect
+    stays tiny — 8*sqrt(10^12) ~ 8M ints at the worst). The sequential
+    oracle derives the sample with this same function."""
+    return max(IVF_TRAIN_TARGET, IVF_TRAIN_PER_CELL * ivf_k_for(n))
 
 # one-train-many-queries: trained models memoized per corpus dir (and
 # optionally persisted to parquet via model_path) so repeated queries
@@ -298,7 +319,7 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str,
         raise ValueError("cannot train an IVF model on an empty corpus")
     if k is None:
         k = ivf_k_for(n)
-    mod = max(n // IVF_TRAIN_TARGET, 1)
+    mod = max(n // ivf_train_target(n), 1)
     train = e.filter((F.col("vec_id") % mod) == 0) if mod > 1 else e
     ids = sorted(r["vec_id"] for r in train.select("vec_id").collect())
     if not ids:
@@ -341,20 +362,36 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str,
 
 
 def save_ivf_model(spark: SparkSession, cents: np.ndarray,
-                   model_path: str) -> None:
+                   model_path: str, trained_k: int | None = None) -> None:
     """Persist the K x dim centroid model as a tiny parquet table — the
     serve-side artifact a production deployment ships separately from
-    the corpus (train once offline, load everywhere)."""
-    rows = [(int(i), [float(x) for x in cents[i]])
+    the corpus (train once offline, load everywhere). ``trained_k``
+    stamps the REQUESTED quantizer width (k_eff == cents.shape[0] can be
+    smaller after seed dedup); it defaults to cents.shape[0] for
+    hand-saved models. Round-8 advice: without the stamp, a legacy
+    fixed-k model (cells <= derived k) was silently served for a
+    derived-k request and the oracle — which always derives k —
+    mismatched with no hint why."""
+    tk = int(trained_k) if trained_k is not None else int(cents.shape[0])
+    rows = [(int(i), [float(x) for x in cents[i]], tk)
             for i in range(cents.shape[0])]
-    (spark.createDataFrame(rows, "cell int, centroid array<double>")
+    (spark.createDataFrame(
+        rows, "cell int, centroid array<double>, trained_k int")
      .coalesce(1).write.mode("overwrite").parquet(model_path))
 
 
-def load_ivf_model(spark: SparkSession, model_path: str) -> np.ndarray:
-    rows = spark.read.parquet(model_path).orderBy("cell").collect()
-    return np.stack([np.asarray(r["centroid"], dtype=np.float64)
-                     for r in rows])
+def load_ivf_model(spark: SparkSession,
+                   model_path: str) -> tuple[np.ndarray, int | None]:
+    """Returns (centroids, trained_k). trained_k is None for legacy
+    models persisted before the stamp existed — the caller treats that
+    as a mismatch and retrains (fail-safe, never fail-parity)."""
+    df = spark.read.parquet(model_path)
+    rows = df.orderBy("cell").collect()
+    tk = (int(rows[0]["trained_k"])
+          if rows and "trained_k" in df.columns else None)
+    cents = np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                      for r in rows])
+    return cents, tk
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
@@ -390,13 +427,15 @@ def ivf_model(spark: SparkSession, sf_dir: str,
               k: int | None = None) -> np.ndarray:
     """Load-or-train: in-memory memo per (corpus dir, corpus
     fingerprint, K), then the persisted parquet model if ``model_path``
-    is given, readable, AND shape-valid for this corpus (centroid dim ==
-    embedding dim, cell count <= K — a model trained on a different
-    corpus would otherwise fail later with an opaque matmul shape error
-    or silently mis-assign cells), then a fresh training run (persisted
-    back to ``model_path`` when given). One train, many queries —
-    ``emb_ivf_ann`` never re-runs Lloyd for a corpus this session.
-    ``k`` defaults to ivf_k_for(corpus size)."""
+    is given, readable, AND valid for this request (centroid dim ==
+    embedding dim — a model trained on a different corpus would
+    otherwise fail later with an opaque matmul shape error — and the
+    persisted ``trained_k`` stamp == the requested K: round-8 advice,
+    a legacy fixed-k model with cells <= K was silently served for a
+    derived-k request, breaking oracle parity with no hint why), then a
+    fresh training run (persisted back to ``model_path`` when given).
+    One train, many queries — ``emb_ivf_ann`` never re-runs Lloyd for a
+    corpus this session. ``k`` defaults to ivf_k_for(corpus size)."""
     import logging
     import os
 
@@ -408,7 +447,7 @@ def ivf_model(spark: SparkSession, sf_dir: str,
     cents = _ivf_model_cache.get(key)
     if cents is None and model_path is not None:
         try:
-            cents = load_ivf_model(spark, model_path)
+            cents, trained_k = load_ivf_model(spark, model_path)
         except Exception as exc:
             log.warning("IVF model load from %s failed (%s) — retraining",
                         model_path, exc)
@@ -416,16 +455,17 @@ def ivf_model(spark: SparkSession, sf_dir: str,
         if cents is not None:
             dim = _corpus_dim(spark, sf_dir)
             if ((dim is not None and cents.shape[1] != dim)
-                    or cents.shape[0] > k):
+                    or trained_k != k):
                 log.warning(
-                    "IVF model at %s has shape %s but corpus dim is %s "
-                    "(K=%d) — rejecting and retraining",
-                    model_path, cents.shape, dim, k)
+                    "IVF model at %s has shape %s / trained_k %s but this "
+                    "request is corpus dim %s / K=%d — rejecting and "
+                    "retraining", model_path, cents.shape, trained_k,
+                    dim, k)
                 cents = None
     if cents is None:
         cents = ivf_train_centroids(spark, sf_dir, k=k)
         if model_path is not None:
-            save_ivf_model(spark, cents, model_path)
+            save_ivf_model(spark, cents, model_path, trained_k=k)
     _ivf_model_cache[key] = cents
     return cents
 
@@ -571,7 +611,8 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
 
 def emb_dup_clusters(spark: SparkSession, sf_dir: str,
                      threshold: float = NEAR_DUP_THRESHOLD,
-                     max_iters: int = 20) -> DataFrame:
+                     max_iters: int = 20,
+                     cc_shortcut: bool = False) -> DataFrame:
     """Embedding near-dup cluster resolution: connected components over
     the emb_cosine_near_dup pair graph — the vector-space mirror of
     doc_dup_clusters, closing the dedup lifecycle (pairs -> clusters ->
@@ -586,7 +627,8 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str,
     from .text import _connected_components
 
     pairs = emb_cosine_near_dup(spark, sf_dir, threshold).select("a", "b")
-    labels = _connected_components(pairs, max_iters=max_iters)
+    labels = _connected_components(pairs, max_iters=max_iters,
+                                   shortcut=cc_shortcut)
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "lab")
             .select(F.col("node").alias("vec_id"),

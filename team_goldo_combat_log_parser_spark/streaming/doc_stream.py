@@ -41,13 +41,21 @@ def stream_doc_dedup(docs: DataFrame,
 
 def run_doc_dedup_once(spark, input_dir: str, checkpoint_dir: str,
                        output_dir: str,
-                       watermark_delay: str = "10 minutes") -> DataFrame:
+                       watermark_delay: str = "10 minutes",
+                       metrics: list | None = None) -> DataFrame:
     """Drive the dedup over all currently-available input files
     (availableNow trigger) into a parquet sink. Re-invoking with the
     same checkpoint processes only new files with the hash state
     restored — a duplicate arriving in a later batch is dropped even
     across restarts (the state store, not the sink, carries the seen
-    set). Returns the sink contents."""
+    set). Returns the sink contents.
+
+    ``metrics``: pass a list to receive the per-micro-batch ops rows
+    (stream_batch_metrics shape — rows in, state rows/bytes, trigger
+    ms). state_rows is the watermark-bounded hash-state size: the
+    number the "memory is arrival-rate x delay, not stream lifetime"
+    claim rests on (measured in SCALE.md, pinned by
+    test_doc_stream_dedup_state_is_watermark_bounded)."""
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
     deduped = stream_doc_dedup(stream, watermark_delay)
     q = (deduped.writeStream.outputMode("append").format("parquet")
@@ -55,4 +63,8 @@ def run_doc_dedup_once(spark, input_dir: str, checkpoint_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    if metrics is not None:
+        from .stream_pipeline import stream_batch_metrics
+
+        metrics.extend(stream_batch_metrics(q))
     return spark.read.parquet(output_dir)

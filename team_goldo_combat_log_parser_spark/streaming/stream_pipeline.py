@@ -357,6 +357,7 @@ def _progress_metrics_row(d: dict) -> dict:
         "rows_in": int(d.get("numInputRows") or 0),
         "pulls_out": int((om or {}).get("pulls_out") or 0),
         "state_rows": sum(int(s.get("numRowsTotal") or 0) for s in so),
+        "state_bytes": sum(int(s.get("memoryUsedBytes") or 0) for s in so),
         "state_rows_updated": sum(int(s.get("numRowsUpdated") or 0)
                                   for s in so),
         "trigger_ms": (d.get("durationMs") or {}).get("triggerExecution"),

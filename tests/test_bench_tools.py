@@ -96,7 +96,12 @@ def test_bench_merge_attempts():
              "e2e_runs": [14.8, 10.4, 10.9], "routed": 790349,
              "gated": True, "canary_pre": 210.0, "canary_post": 206.0,
              "gate_waits": 0}
-    queries, best = bench.merge_attempts([collapsed, quiet])
+    queries, best, owners = bench.merge_attempts([collapsed, quiet])
     assert queries == {"combat_e2e": 10.4, "doc_minhash_lsh_pairs": 4.4,
                        "emb_ivf_ann": 1.1}
     assert best is quiet  # owns the combat_e2e min -> coherent run list
+    # round-8 advice: each reported minimum is traceable to the attempt
+    # (= canary bracket) it was measured in — emb_ivf_ann's minimum came
+    # from the COLLAPSED attempt and says so
+    assert owners == {"combat_e2e": 1, "doc_minhash_lsh_pairs": 1,
+                      "emb_ivf_ann": 0}

@@ -78,6 +78,19 @@ def test_queries_have_oracle_or_reason():
             f"{name} lacks an oracle and isn't a known rows-only op"
 
 
+def test_registry_within_driver_cap():
+    """The round-7 INVARIANT as code (round-8 advice — it was
+    documentation-only): the driver's correctness check takes the FIRST
+    50 queries() entries in dict order, so entry 51 would silently push
+    an existing operator out of the per-round rows+schema+hash window.
+    Adding an operator means merging a near-duplicate demo into an
+    absorbing query (see __spark_entry__ docstring), not growing past
+    the cap."""
+    assert len(QUERIES) <= 50, (
+        f"queries() has {len(QUERIES)} entries — the driver only checks "
+        "the first 50; merge demos instead of exceeding the cap")
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

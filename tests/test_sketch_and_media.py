@@ -489,8 +489,12 @@ def test_ivf_empty_modulus_sample_falls_back_to_full_corpus(
     d.mkdir()
     _write_embeddings(str(d / "embeddings.parquet"), ids, mat)
     # size the sample target so mod == len(ids) // target == 2: the
-    # modulus filter (vec_id % 2 == 0) then matches nothing
+    # modulus filter (vec_id % 2 == 0) then matches nothing. The
+    # per-cell floor (round 8) must be pinned too, else
+    # ivf_train_target(40) = 8*ivf_k_for(40) = 48 > n forces mod = 1
+    # and the fallback path this test exists for never triggers.
     monkeypatch.setattr(sim, "IVF_TRAIN_TARGET", 20)
+    monkeypatch.setattr(sim, "IVF_TRAIN_PER_CELL", 1)
     sim._ivf_model_cache.clear()
     got = [(r["qid"], r["rank"], r["neighbor_id"], r["cosine_e6"])
            for r in sim.emb_ivf_ann(spark, str(d)).collect()]
@@ -558,6 +562,69 @@ def test_ivf_rejects_model_trained_on_wrong_corpus(spark, tmp_path):
     sim._ivf_model_cache.clear()
 
 
+def test_ivf_rejects_model_with_mismatched_trained_k(spark, sf001,
+                                                     tmp_path):
+    """Round-8 advice: a persisted model trained at a PINNED smaller k
+    (legacy fixed IVF_K=16 deployments) must be rejected for a derived-k
+    request — cells <= k used to slip through the shape check and serve
+    stale quantization that the always-derives-k oracle could never
+    match. Also: a legacy model file without the trained_k stamp is
+    treated as mismatched (fail-safe)."""
+    from team_goldo_combat_log_parser_spark.operators import similarity as sim
+
+    sim._ivf_model_cache.clear()
+    mp = str(tmp_path / "model_k4")
+    # persist a k=4 model (4 < derived k for the sf001 corpus)
+    sim.emb_ivf_ann(spark, sf001, model_path=mp, k=4).collect()
+    sim._ivf_model_cache.clear()
+    n0 = sim._ivf_train_stats["train_runs"]
+    want = [tuple(r) for r in sim.emb_ivf_ann(spark, sf001).collect()]
+    sim._ivf_model_cache.clear()
+    got = [tuple(r)
+           for r in sim.emb_ivf_ann(spark, sf001, model_path=mp).collect()]
+    assert sim._ivf_train_stats["train_runs"] == n0 + 2  # both retrained
+    assert got == want
+    # the derived-k retrain overwrote the k=4 model with its own stamp:
+    # a repeat derived-k load now serves without training
+    sim._ivf_model_cache.clear()
+    again = [tuple(r)
+             for r in sim.emb_ivf_ann(spark, sf001, model_path=mp).collect()]
+    assert sim._ivf_train_stats["train_runs"] == n0 + 2
+    assert again == want
+    # legacy file without the stamp: loadable but k-unknown -> retrain
+    cents, tk = sim.load_ivf_model(spark, mp)
+    assert tk is not None
+    legacy = str(tmp_path / "model_legacy")
+    rows = [(int(i), [float(x) for x in cents[i]])
+            for i in range(cents.shape[0])]
+    (spark.createDataFrame(rows, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(legacy))
+    sim._ivf_model_cache.clear()
+    got2 = [tuple(r) for r in
+            sim.emb_ivf_ann(spark, sf001, model_path=legacy).collect()]
+    assert sim._ivf_train_stats["train_runs"] == n0 + 3
+    assert got2 == want
+    sim._ivf_model_cache.clear()
+
+
+def test_ivf_train_target_scales_with_k():
+    """Round-8 advice: the training sample must hold >= k seeds or the
+    sqrt(n) rule silently saturates (k_eff capped at the sample size,
+    serve cost back to linear). Pin target >= IVF_TRAIN_PER_CELL * k at
+    the corpus sizes where the flat 512 used to lose: n=262k ->
+    k=512 needs 4096 rows; n=10^9 -> k=31623 needs ~253k rows."""
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        IVF_TRAIN_PER_CELL, ivf_k_for, ivf_train_target)
+
+    for n in (100, 4096, 262_144, 10**9, 10**12):
+        k = ivf_k_for(n)
+        assert ivf_train_target(n) >= IVF_TRAIN_PER_CELL * k
+        assert ivf_train_target(n) >= 512
+    # and small corpora keep the old flat target (no behavior shift at
+    # bench scale: sf0.1 n~2000 -> k=45 -> 8*45=360 < 512)
+    assert ivf_train_target(2000) == 512
+
+
 def test_clean_corpus_planted_stages(spark, tmp_path):
     """doc_clean_corpus: each stage exercised by a planted corpus — an
     exact duplicate (keep-first), a too-short doc, a stopword-stuffed doc,
@@ -596,6 +663,83 @@ def test_clean_corpus_planted_stages(spark, tmp_path):
     assert [by_id[i][4] for i in (10, 11, 12, 13)] == [100, 200, 300, 400]
 
 
+def test_minhash_signature_modes_bit_identical(spark, sf01):
+    """The scan-local signature construction (round 8, VERDICT next #4)
+    must produce bit-identical signatures to the exploded+agg path —
+    same shingling, same xxhash64 -> affine -> min per lane — and the
+    downstream LSH pairs must therefore match exactly too."""
+    a = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, sf01, mode="exploded").collect())
+    b = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, sf01, mode="scan_local").collect())
+    assert len(a) > 0 and a == b
+
+
+def test_minhash_scan_local_signature_has_no_shuffle(spark, sf01):
+    """scan_local's whole point: the signature is a projection of the
+    documents scan — zero exchanges before banding."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = text.doc_minhash_signatures(spark, sf01, mode="scan_local")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue(), buf.getvalue()
+
+
+def test_clean_corpus_hierarchical_budget_parity(spark, sf01):
+    """The (source, shard) two-level budget (VERDICT r7 next #2b) must
+    be BIT-identical to the single-window running sum — all-integer
+    arithmetic, so exact equality, at two shard widths (one that splits
+    sources mid-stream, one wider than most sources)."""
+    base = [tuple(r) for r in text.doc_clean_corpus(spark, sf01).collect()]
+    assert len(base) > 0
+    for width in (7, 64):
+        got = [tuple(r) for r in text.doc_clean_corpus(
+            spark, sf01, shard_docs=width).collect()]
+        assert got == base, f"shard_docs={width}"
+
+
+def test_pack_sequences_hierarchical_parity(spark, sf01):
+    """doc_pack_sequences(shard_docs=N): the per-shard prefix + broadcast
+    offset decomposition must reproduce every packing coordinate
+    exactly (start_off/first_seq/last_seq are all integers)."""
+    base = [tuple(r) for r in text.doc_pack_sequences(spark, sf01).collect()]
+    assert len(base) > 0
+    for width in (13, 128):
+        got = [tuple(r) for r in text.doc_pack_sequences(
+            spark, sf01, shard_docs=width).collect()]
+        assert got == base, f"shard_docs={width}"
+
+
+def test_unigram_nll_scale_variant_boundary_tolerant_parity(spark, sf01):
+    """doc_unigram_nll(scale_variant=True) at rel_err=0.0: scores
+    (doc_id, n_tokens, avg_nll_e4) are identical; buckets may differ
+    from NTILE(3) ONLY for docs whose score EQUALS a tercile cut value
+    (NTILE splits rank-tie groups by position to equalize counts; a
+    value cut keeps them together)."""
+    exact = {r["doc_id"]: (r["n_tokens"], r["avg_nll_e4"], r["ppl_bucket"])
+             for r in text.doc_unigram_nll(spark, sf01).collect()}
+    var = {r["doc_id"]: (r["n_tokens"], r["avg_nll_e4"], r["ppl_bucket"])
+           for r in text.doc_unigram_nll(
+               spark, sf01, scale_variant=True,
+               tercile_rel_err=0.0).collect()}
+    assert set(exact) == set(var)
+    assert all(exact[d][:2] == var[d][:2] for d in exact)  # scores equal
+    scores = spark.createDataFrame(
+        [(v[1],) for v in exact.values()], "avg_nll_e4 long")
+    c1, c2 = scores.approxQuantile("avg_nll_e4", [1 / 3, 2 / 3], 0.0)
+    mism = [d for d in exact if exact[d][2] != var[d][2]]
+    assert all(exact[d][1] in (c1, c2) for d in mism), (
+        f"non-boundary bucket mismatch: "
+        f"{[(d, exact[d], var[d]) for d in mism][:5]} cuts=({c1},{c2})")
+    # and the variant must not be degenerate: buckets still partition
+    # the corpus into three non-empty classes
+    got_buckets = {v[2] for v in var.values()}
+    assert got_buckets == {"head", "middle", "tail"}
+
+
 def test_connected_components_path_graph(spark):
     """The label-propagation loop must reach the fixpoint on a diameter-9
     path (forces multiple sweeps, not just one), leave separate
@@ -624,6 +768,55 @@ def test_connected_components_nonconvergence_is_loud(spark):
     got = {r["node"]: r["lab"]
            for r in text._connected_components(df, max_iters=30).collect()}
     assert got == {n: 0 for n in range(24)}
+
+
+def test_connected_components_budget_boundary(spark, monkeypatch):
+    """Round-8 advice (off-by-one): a component whose propagation
+    finishes EXACTLY on sweep max_iters must converge — the confirming
+    sum-unchanged sweep is not charged against the budget. A 6-node path
+    has diameter 5: 5 changing sweeps + 1 confirming, so max_iters=5
+    passes (the old loop raised here) and max_iters=4 still raises."""
+    edges = [(i, i + 1) for i in range(5)]           # path 0-...-5
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["lab"]
+           for r in text._connected_components(df, max_iters=5).collect()}
+    assert got == {n: 0 for n in range(6)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        text._connected_components(df, max_iters=4).collect()
+
+
+def test_connected_components_shortcut_parity_and_log_rounds(spark):
+    """The pointer-jumping scale variant (VERDICT r7 next #2c): exact
+    label parity with the default sweep on mixed shapes, and O(log
+    diameter) convergence — a 24-node path that exhausts the default's
+    20-sweep budget resolves under shortcut=True within 8 sweeps
+    (labels travel 2^sweep hops)."""
+    edges = [(i, i + 1) for i in range(9)]           # path, rep 0
+    edges += [(20, 21), (22, 21)]                    # vee, rep 20
+    edges += [(30 + i, 30 + j) for i in range(4) for j in range(i)]  # clique
+    df = spark.createDataFrame(edges, "a long, b long")
+    base = {r["node"]: r["lab"]
+            for r in text._connected_components(df).collect()}
+    fast = {r["node"]: r["lab"]
+            for r in text._connected_components(df, shortcut=True).collect()}
+    assert fast == base
+    chain = spark.createDataFrame([(i, i + 1) for i in range(23)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        text._connected_components(chain, max_iters=8).collect()
+    got = {r["node"]: r["lab"] for r in text._connected_components(
+        chain, max_iters=8, shortcut=True).collect()}
+    assert got == {n: 0 for n in range(24)}
+
+
+def test_dup_clusters_shortcut_parity(spark, near_dup_dir):
+    """doc_dup_clusters(cc_shortcut=True) — the flagged 100x variant —
+    must return the identical cluster table on the planted corpus."""
+    a = [tuple(r) for r in text.doc_dup_clusters(spark, near_dup_dir)
+         .collect()]
+    b = [tuple(r) for r in text.doc_dup_clusters(
+        spark, near_dup_dir, cc_shortcut=True).collect()]
+    assert a == b and len(a) > 0
 
 
 def test_dup_clusters_groups_transitive_pairs(spark, near_dup_dir):
