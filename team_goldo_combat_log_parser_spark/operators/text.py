@@ -201,8 +201,12 @@ _AB = [(((17 + 13 * i) * 2654435761) % _P or 1, ((23 + 7 * i) * 40503) % _P)
 #                  pure projection of the documents scan.
 # Both produce bit-identical signatures (same xxhash64 -> affine -> min
 # per lane; pytest-pinned); the default is the A/B winner on the bench
-# corpus (BENCH/MINHASH_AB.md).
-MINHASH_SIGNATURE_MODE = "scan_local"
+# corpus (BENCH/MINHASH_AB.md: exploded 3.78s vs scan_local 6.52s best,
+# median ratio 1.73x — higher-order functions evaluate interpreted,
+# per element and per lane, while the exploded path keeps the lane
+# arithmetic and the 32 min-buffers inside whole-stage codegen; the
+# explode's row volume is cheaper than the HOF's allocation).
+MINHASH_SIGNATURE_MODE = "exploded"
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str,
@@ -264,32 +268,44 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     rows_per_band = MINHASH_K // MINHASH_BANDS
     # ONE posexplode pass emits every (band, band-signature) row — a
     # union of per-band projections would scan the signatures 4x and
-    # quadruple the task count for identical output
+    # quadruple the task count for identical output. The full 32-lane
+    # signature rides along as an array so the similarity estimate is
+    # computed INSIDE the banding join (round 8): the former
+    # distinct + two signature re-joins (3 exchanges after the band
+    # join) collapse into one (a, b) dedup aggregate — measured ~4%
+    # faster here and strictly fewer shuffles at scale
+    # (BENCH/MINHASH_AB.md), at the cost of ~K longs per banded row in
+    # the join shuffle (the standard carry in production LSH pipelines).
     band_sigs = [
         F.xxhash64(*[F.col(f"mh{bnd * rows_per_band + j}")
                      for j in range(rows_per_band)])
         for bnd in range(MINHASH_BANDS)
     ]
     banded = sig.select(
-        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "bsig"))
-    cand = (
-        banded.alias("x").join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bsig") == F.col("y.bsig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
-    sig_a = sig.select(F.col("doc_id").alias("a"),
-                       *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_K)])
-    sig_b = sig.select(F.col("doc_id").alias("b"),
-                       *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_K)])
-    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
-              for i in range(MINHASH_K)) / F.lit(float(MINHASH_K))
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_K)]).alias("sig"),
+        F.posexplode(F.array(*band_sigs)).alias("band", "bsig"))
+    x = banded.select(F.col("doc_id").alias("a"),
+                      F.col("sig").alias("x_sig"), "band", "bsig")
+    y = banded.select(F.col("doc_id").alias("b"),
+                      F.col("sig").alias("y_sig"),
+                      F.col("band").alias("band_y"),
+                      F.col("bsig").alias("bsig_y"))
+    # matching-lane fraction; evaluated once per candidate row (HOFs are
+    # interpreted, but candidates are band-collision-rare — unlike the
+    # per-shingle hot path where HOFs measurably lose, see
+    # doc_minhash_signatures)
+    est = F.aggregate(
+        F.zip_with("x_sig", "y_sig",
+                   lambda p, q: F.when(p == q, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(MINHASH_K))
     return (
-        cand.join(sig_a, "a").join(sig_b, "b")
+        x.join(y, (F.col("band") == F.col("band_y"))
+               & (F.col("bsig") == F.col("bsig_y"))
+               & (F.col("a") < F.col("b")))
         .select("a", "b", F.round(est, 6).alias("est_jaccard"))
+        .groupBy("a", "b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
         .orderBy("a", "b")
     )
 

@@ -40,6 +40,10 @@ def test_point_lookup_result(spark):
 def test_broadcast_enrich_is_broadcast(spark):
     plan = plan_of(relational.broadcast_enrich_revenue(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # round 8: n_suppliers derives from size(collect_set) — a second
+    # distinct aggregate (countDistinct) would re-introduce the Expand
+    # that doubled this query (BENCH/ENRICH_IVF_AB.md)
+    assert "Expand" not in plan, plan
 
 
 def test_combat_routed_shuffle_budget(spark):
