@@ -222,3 +222,29 @@ def test_merged_queries_add_no_shuffles(spark):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "o_orderstatus" in read and "o_orderpriority" in read, read
     assert "o_totalprice" not in read and "o_comment" not in read, read
+
+
+def test_simhash_filters_hamming_before_dedup_exchange(spark):
+    """doc_simhash_near_pairs (round 8): the hamming filter must sit
+    BELOW the (a, b) dedup exchange — the ~93x candidate shrink is the
+    point of the rewrite, and a regression to dedup-then-filter would
+    ship every spurious chunk collision through the shuffle again."""
+    from team_goldo_combat_log_parser_spark.operators import text
+
+    plan = plan_of(text.doc_simhash_near_pairs(spark, SF))
+    lines = plan.splitlines()
+    # Catalyst folds the predicate straight into the join condition —
+    # every candidate is distance-tested during the probe, before any
+    # post-join operator sees it
+    join_cond = next(i for i, ln in enumerate(lines)
+                     if "Join condition" in ln and "bit_count" in ln)
+    # formatted plans number nodes in execution order: the map-side
+    # partial dedup and then the one (a, b) exchange must come AFTER
+    # the join condition line (i.e. they consume filtered rows)
+    partial = next(i for i, ln in enumerate(lines) if "partial_first" in ln)
+    dedup_ex = next(i for i, ln in enumerate(lines)
+                    if "hashpartitioning(a#" in ln)
+    assert join_cond < partial < dedup_ex, plan
+    # exactly one hash exchange in the whole plan — the pair dedup
+    hash_ex = [ln for ln in lines if "hashpartitioning" in ln]
+    assert len(hash_ex) == 1, hash_ex
