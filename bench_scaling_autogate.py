@@ -199,7 +199,11 @@ def main() -> int:
             f"4-exec best {result['big']['min_sec']}s\n\n"
             f"  ```\n  {rounds_log or '(no per-round log)'}\n  ```\n")
         log(f"attempt {attempt}: gated raw={raw} norm={result['value']}")
-        if raw >= TARGET and result["gated_rounds"] >= 1:
+        # full-protocol only (round 8): ALL rounds must be gated — the r7
+        # promotion from a 2/3-gated campaign was relabeled provisional by
+        # the verdict precisely because a partial-gated median can ride a
+        # degraded 1-exec leg
+        if raw >= TARGET and result["gated_rounds"] >= ROUNDS:
             # preserve the cumulative cross-round record: everything from
             # the old file's first "## " heading survives under the new
             # winning write-up (round 7 — the original os.replace dropped
