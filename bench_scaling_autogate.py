@@ -63,6 +63,11 @@ SLEEP_S = float(os.environ.get("SPARK_GRAFT_AUTOGATE_SLEEP", "90"))
 # attempt 1 showed the 1-exec level catching lucky host windows that a
 # wider, slower campaign cannot average away.
 ROUNDS = os.environ.get("SPARK_GRAFT_AUTOGATE_ROUNDS", "3")
+# the promotion gate compares gated_rounds (int) to the round count; the
+# env passthrough above needs the string, the comparison needs the int —
+# comparing to the raw string raised TypeError exactly when a winning
+# campaign (raw >= TARGET) reached the gate (round-8 advice, high)
+N_ROUNDS = int(ROUNDS)
 REPS = os.environ.get("SPARK_GRAFT_AUTOGATE_REPS", "1")
 # Phase 1 hunts a STRICT window (canary + bandwidth) for the raw >= 0.8
 # shot; if none appears within this budget, phase 2 drops the bandwidth
@@ -203,7 +208,7 @@ def main() -> int:
         # promotion from a 2/3-gated campaign was relabeled provisional by
         # the verdict precisely because a partial-gated median can ride a
         # degraded 1-exec leg
-        if raw >= TARGET and result["gated_rounds"] >= ROUNDS:
+        if raw >= TARGET and result["gated_rounds"] >= N_ROUNDS:
             # preserve the cumulative cross-round record: everything from
             # the old file's first "## " heading survives under the new
             # winning write-up (round 7 — the original os.replace dropped

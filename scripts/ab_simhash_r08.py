@@ -57,6 +57,11 @@ def timed(fn) -> float:
 
 
 def main() -> None:
+    # match the ab_r08.py protocol: ask a running scaling hunter to stand
+    # down so background load cannot contaminate the timed arms despite
+    # canary bracketing (round-8 advice, low)
+    import bench
+    bench.request_hunter_stop()
     spark = get_spark("ab_simhash_r08")
     new = lambda: text.doc_simhash_near_pairs(spark, SF_DIR).count()  # noqa: E731
     old = lambda: simhash_old(spark, SF_DIR).count()  # noqa: E731

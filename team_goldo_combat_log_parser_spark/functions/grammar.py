@@ -70,24 +70,98 @@ def _detok_udf(tokens: pd.Series) -> pd.Series:
     return pd.Series([blob[offs[i]:offs[i + 1]] for i in range(len(arrays))])
 
 
+def _detok_arrow_array(arr) -> "object":
+    """ListArray<int> byte tokens -> StringArray, zero per-row Python.
+
+    The latin-1 -> UTF-8 transcode is a pure byte map (codepoint b < 0x80
+    stays one byte; b >= 0x80 becomes [0xC0 | b>>6, 0x80 | b&0x3F]), so
+    the whole batch is converted with a handful of vectorized numpy ops
+    and the result is assembled directly into an Arrow string array from
+    its (offsets, data) buffers — no Python str objects are ever
+    materialized (the pandas-UDF path pays a per-row slice AND a per-row
+    UTF-8 re-encode when pandas converts back to Arrow). Bit-identical
+    output: latin-1 codepoints 0-255 == unicode codepoints 0-255, and
+    this IS their UTF-8 encoding."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    lens = np.asarray(pc.list_value_length(arr), dtype=np.int64)
+    v = np.asarray(arr.flatten()).astype(np.uint8)  # same wrap as _detok_udf
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    high = v >= 128
+    cum = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(high, out=cum[1:])
+    out = np.empty(len(v) + int(cum[-1]), dtype=np.uint8)
+    idx = np.arange(len(v), dtype=np.int64) + cum[:-1]
+    out[idx] = np.where(high, 0xC0 | (v >> 6), v)
+    hi_idx = idx[high]
+    out[hi_idx + 1] = 0x80 | (v[high] & 0x3F)
+    new_offs = (offs + cum[offs]).astype(np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(out.tobytes()))
+
+
+def _detok_map_in_arrow(df: DataFrame, tokens_col: str,
+                        keep_tokens: bool) -> DataFrame:
+    """mapInArrow detokenize: appends ``line``; drops the token arrays
+    from the OUTPUT unless ``keep_tokens`` (shipping them back across
+    the Arrow boundary would quadruple the return payload for nothing —
+    guide par.4.1: control how many columns cross)."""
+    import pyarrow as pa
+
+    fields = [f for f in df.schema.fields
+              if keep_tokens or f.name != tokens_col]
+    out_schema = T.StructType(fields + [T.StructField("line", T.StringType())])
+    out_names = [f.name for f in fields] + ["line"]
+
+    def transcode(batches):
+        for batch in batches:
+            tok = batch.column(batch.schema.get_field_index(tokens_col))
+            line = _detok_arrow_array(tok)
+            cols = [batch.column(i) for i, name in
+                    enumerate(batch.schema.names)
+                    if keep_tokens or name != tokens_col]
+            yield pa.RecordBatch.from_arrays(cols + [line], names=out_names)
+
+    return df.mapInArrow(transcode, schema=out_schema)
+
+
 def detokenize_lines(df: DataFrame, tokens_col: str = "tokens",
-                     native: bool = False) -> DataFrame:
+                     native: bool = False,
+                     keep_tokens: bool = True) -> DataFrame:
     """Add a ``line`` column decoded from the byte-token array.
 
-    Two bit-identical implementations:
-    * Arrow pandas UDF (default): fastest per core (one bulk buffer decode
-      per batch), but rows cross the JVM<->Python boundary.
+    Three bit-identical implementations:
+    * mapInArrow (round-9 default for batch frames): one vectorized
+      numpy transcode per batch, output string array built directly
+      from buffers — zero per-row Python, zero Python str objects, and
+      (with ``keep_tokens=False``) the token arrays never cross back
+      to the JVM. Structurally immune to the optimizer's UDF
+      duplication (a MapInArrow node is a plan barrier, guide par.4.4).
+    * Arrow pandas UDF: the pre-round-9 default, kept for STREAMING
+      input (mapInArrow is batch-only here) — one bulk buffer decode
+      per batch, then per-row slicing + re-encode in pandas.
     * ``native=True``: pure JVM — ``chr()`` per token + ``array_join``
       (latin-1 codepoints 0-255 == unicode codepoints 0-255, so chr is
       exact). ~30% slower per core but keeps the whole pipeline inside
       the JVM: no Python workers, no Arrow transfer — the path to prefer
       when the Python-worker fleet, not the CPU, is the bottleneck.
+
+    ``keep_tokens=False`` drops ``tokens_col`` from the result (callers
+    that only consume ``line`` — the pipeline — save the return-path
+    Arrow payload; the token-equality invariant keeps the default).
     """
     if native:
         return df.withColumn(
             "line",
             F.array_join(F.transform(tokens_col, lambda c: F.chr(c)), ""))
-    return df.withColumn("line", _detok_udf(F.col(tokens_col)))
+    if df.isStreaming:
+        return df.withColumn("line", _detok_udf(F.col(tokens_col)))
+    return _detok_map_in_arrow(df, tokens_col, keep_tokens)
 
 
 @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -136,7 +210,6 @@ def with_typed_columns(df: DataFrame) -> DataFrame:
     """
     amount = F.col("amount_raw")
     effect = F.col("effect_raw")
-    first_tok = F.regexp_extract(amount, r"^\((\S+)", 1)
     # one projection for everything: chained withColumn would re-analyze a
     # growing plan per column (quadratic driver time on 25+ columns)
     return df.select(
@@ -156,9 +229,17 @@ def with_typed_columns(df: DataFrame) -> DataFrame:
         .try_cast("long").alias("verb_id"),
         F.regexp_extract(effect, r":[^{]*\{(\d+)\}", 1)
         .try_cast("long").alias("effect_id"),
-        # --- amount grammar
-        F.regexp_extract(first_tok, r"^(\d+)", 1).try_cast("long").alias("amount"),
-        first_tok.rlike(r"^\d+\*").alias("crit"),
+        # --- amount grammar. The reference takes the leading digits /
+        # the crit star from the first token after '(' — "first token
+        # then digits-prefix" composes to one anchored pattern each
+        # (digits immediately after '(' are a prefix of the first \S+
+        # token, and a no-match yields "" -> null either way), so the
+        # former first_tok = regexp_extract(^\((\S+)) intermediate is
+        # inlined: two regex evaluations per row instead of four
+        # (round 9, guide par.1.2 per-task work; value-parity held by
+        # the combat oracle over every grammar variant)
+        F.regexp_extract(amount, r"^\((\d+)", 1).try_cast("long").alias("amount"),
+        amount.rlike(r"^\(\d+\*").alias("crit"),
         F.regexp_extract(amount, r"^\(\S+\s+(\S+)", 1).alias("dmg_type"),
         F.regexp_extract(amount, r"^\([^(]*\((\d+)", 1).try_cast("long")
         .alias("absorbed"),
@@ -214,7 +295,7 @@ def parse_lines(df: DataFrame, native_detok: bool = False) -> DataFrame:
     """token table (+line) -> fully typed event DataFrame (native path)."""
     out = df
     if "line" not in out.columns:
-        out = detokenize_lines(out, native=native_detok)
+        out = detokenize_lines(out, native=native_detok, keep_tokens=False)
     out = with_identity_columns(out)
     out = split_fields(out)
     out = with_typed_columns(out)
@@ -254,7 +335,7 @@ def parse_lines_pandas(df: DataFrame) -> DataFrame:
     """Alternative: field split inside a pandas UDF (benchmark comparator)."""
     out = df
     if "line" not in out.columns:
-        out = detokenize_lines(out)
+        out = detokenize_lines(out, keep_tokens=False)
     out = with_identity_columns(out)
     out = out.withColumn("_f", _grok_udf(F.col("line"))).select("*", "_f.*").drop("_f")
     out = with_typed_columns(out)

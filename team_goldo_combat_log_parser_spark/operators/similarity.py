@@ -141,6 +141,31 @@ def _band_keys_udf(emb: pd.Series) -> pd.Series:
     return pd.Series(list(out))
 
 
+# Round 9 (guide par.4.4): the optimizer pushes the posexplode's generated
+# size/isnotnull filter below the UDF projection and DUPLICATES the UDF —
+# every banding plan evaluated the signature matmul twice per join side
+# (plan-verified: 8 ArrowEvalPython nodes in emb_lsh_ann). The values are
+# deterministic; the non-deterministic mark only forbids the optimizer
+# from re-evaluating/reordering the call, yielding one eval per side.
+_band_keys_udf = _band_keys_udf.asNondeterministic()
+
+
+def _banded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (vec_id, band, bkey) inverted-index postings — the narrow
+    relation every banding join probes. Materialized once per call with
+    localCheckpoint (eager, no CacheManager residue — see
+    doc_minhash_lsh_pairs) because both sides of a banding self-join
+    (and the query + data sides of the ANN probe join) consume it:
+    without the checkpoint each side re-runs the signature UDF over the
+    full corpus. ~16 short rows per vector; the production analogue is
+    the precomputed LSH index table."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = e.withColumn("bkeys", _band_keys_udf("embedding"))
+    banded = sig.select(
+        "vec_id", F.posexplode("bkeys").alias("band", "bkey"))
+    return banded.localCheckpoint(eager=True)
+
+
 def lsh_candidates(spark: SparkSession, sf_dir: str,
                    probe_radius: int = 1) -> DataFrame:
     """(qid, qv, vec_id, embedding) candidate pairs from the banding join.
@@ -149,12 +174,17 @@ def lsh_candidates(spark: SparkSession, sf_dir: str,
     the inverted index a real deployment would precompute and bucket-join.
     Query side: multi-probe — each query also probes every key within
     Hamming distance ``probe_radius`` of its own band key, which buys
-    recall on weakly-correlated neighbors without growing the index."""
-    e = load(spark, sf_dir, "embeddings")
-    sig = e.withColumn("bkeys", _band_keys_udf("embedding"))
-    banded = sig.select(
-        "vec_id", "embedding",
-        F.posexplode("bkeys").alias("band", "bkey"))
+    recall on weakly-correlated neighbors without growing the index.
+
+    Round 9 (guide par.2.3 "shuffle keys, not payloads"): the banding
+    join and the candidate dedup operate on (qid, vec_id) IDS ONLY; the
+    embedding arrays are attached AFTER the distinct by two id joins.
+    The previous plan carried both embedding payloads through the
+    posexplode, the join and a distinct whose hash keys were the float
+    arrays themselves (per-element NaN/zero normalization on every
+    compare) — the narrow form shuffles a fraction of the bytes and its
+    dedup compares two longs."""
+    banded = _banded_postings(spark, sf_dir)
     q0 = banded.filter(F.col("vec_id") < N_QUERIES)
     probes = [F.col("bkey")]
     if probe_radius >= 1:
@@ -164,14 +194,23 @@ def lsh_candidates(spark: SparkSession, sf_dir: str,
         probes += [F.col("bkey").bitwiseXOR(F.lit((1 << i) | (1 << j)))
                    for i in range(BAND_BITS) for j in range(i + 1, BAND_BITS)]
     q = q0.select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "band",
+        F.col("vec_id").alias("qid"), "band",
         F.explode(F.array(*probes)).alias("bkey"))
-    return (
-        q.join(banded.select("vec_id", "embedding", "band", "bkey"),
-               ["band", "bkey"])
+    cand_ids = (
+        F.broadcast(q).join(banded, ["band", "bkey"])
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "qv", "vec_id", "embedding")
+        .select("qid", "vec_id")
         .distinct()
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    # candidates are O(n_queries x bounded-bucket-size) — broadcast them
+    # onto the corpus scan so the big side is never shuffled
+    return (
+        F.broadcast(cand_ids.join(F.broadcast(qv), "qid"))
+        .join(e, "vec_id")
+        .select("qid", "qv", "vec_id", "embedding")
     )
 
 
@@ -262,6 +301,12 @@ def ivf_train_target(n: int) -> int:
 # never re-run Lloyd. train_runs is a test hook counting actual trainings.
 _ivf_model_cache: dict[str, np.ndarray] = {}
 _ivf_train_stats = {"train_runs": 0}
+# corpus row count per (dir, fingerprint): deriving K = ivf_k_for(n) ran
+# a count() job on EVERY serve call even when the model itself was
+# memoized — the count is part of the model's identity, so it shares the
+# fingerprint-keyed memo lifecycle (round 9, guide par.1: one fewer job
+# on the steady-state serve path)
+_ivf_n_cache: dict[str, int] = {}
 
 
 def _ivf_seed_ids(ids: list[int], k: int) -> list[int]:
@@ -298,7 +343,10 @@ def _ivf_assign_udf(cents: np.ndarray):
         cos = (m @ cents.T) / np.outer(mn, norms)
         return pd.Series(np.argmax(cos, axis=1).astype("int32"))
 
-    return assign
+    # deterministic in value; the mark stops the optimizer duplicating
+    # the matmul below its own pushed-down filters (guide par.4.4 — the
+    # serve plan evaluated assign() twice over the full corpus)
+    return assign.asNondeterministic()
 
 
 def ivf_train_centroids(spark: SparkSession, sf_dir: str,
@@ -440,10 +488,14 @@ def ivf_model(spark: SparkSession, sf_dir: str,
     import os
 
     log = logging.getLogger(__name__)
+    base_key = f"{os.path.realpath(sf_dir)}|{_corpus_fingerprint(sf_dir)}"
     if k is None:
-        k = ivf_k_for(
-            load(spark, sf_dir, "embeddings").select("vec_id").count())
-    key = f"{os.path.realpath(sf_dir)}|{_corpus_fingerprint(sf_dir)}|k={k}"
+        n = _ivf_n_cache.get(base_key)
+        if n is None:
+            n = load(spark, sf_dir, "embeddings").select("vec_id").count()
+            _ivf_n_cache[base_key] = n
+        k = ivf_k_for(n)
+    key = f"{base_key}|k={k}"
     cents = _ivf_model_cache.get(key)
     if cents is None and model_path is not None:
         try:
@@ -508,15 +560,28 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str,
                             .repeat(len(m), 0), -cos), axis=1)
         return pd.Series(list(order[:, :nprobe].astype("int32")))
 
+    # non-deterministic mark: same duplication fix as _ivf_assign_udf
+    # (the explode's generated size/isnotnull filter otherwise doubles
+    # the probe matmul, guide par.4.4)
+    probe_cells = probe_cells.asNondeterministic()
+
     q = (e.filter(F.col("vec_id") < N_QUERIES)
          .withColumn("cells", probe_cells("embedding"))
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv"),
                  F.explode("cells").alias("cell")))
-    cand = (q.join(data, "cell")
+    # No distinct: each data vector lives in exactly ONE cell (argmax)
+    # and a query's nprobe probe cells are distinct by construction, so
+    # (qid, vec_id) pairs are already unique — the former .distinct()
+    # was a no-op that shuffled both embedding payloads and hashed the
+    # float arrays (NaN/zero-normalized per element) as dedup keys
+    # (round 9; uniqueness pinned in test_sketch_and_media). The probe
+    # side is O(n_queries x nprobe) rows — broadcast it so the corpus
+    # side is never shuffled (BuildLeft instead of broadcasting the
+    # whole assigned corpus, which is the side that GROWS).
+    cand = (F.broadcast(q).join(data, "cell")
             .filter(F.col("qid") != F.col("vec_id"))
-            .select("qid", "qv", "vec_id", "embedding")
-            .distinct())
+            .select("qid", "qv", "vec_id", "embedding"))
     dot = F.aggregate(
         F.zip_with("qv", "embedding",
                    lambda a, b: a.cast("double") * b.cast("double")),
@@ -562,9 +627,11 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
     dups use 0.9+ where the banding recall is what makes this exact-in-
     practice."""
     e = load(spark, sf_dir, "embeddings")
-    sig = e.withColumn("bkeys", _band_keys_udf("embedding"))
-    banded = sig.select(
-        "vec_id", F.posexplode("bkeys").alias("band", "bkey"))
+    # one checkpointed postings relation feeds BOTH self-join sides: the
+    # signature UDF runs once per call instead of once per side (and,
+    # before the round-9 non-deterministic mark, twice per side — the
+    # optimizer duplicated it below its own generated filters)
+    banded = _banded_postings(spark, sf_dir)
     pairs = (
         banded.alias("x").join(
             banded.alias("y"),

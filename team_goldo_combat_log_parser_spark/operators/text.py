@@ -15,6 +15,8 @@ LSH banding turns the O(n^2) pair search into an equi-join on
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -191,7 +193,8 @@ _AB = [(((17 + 13 * i) * 2654435761) % _P or 1, ((23 + 7 * i) * 40503) % _P)
        for i in range(MINHASH_K)]
 
 
-# signature construction strategy (round 8, VERDICT next #4):
+# signature construction strategy (round 8, VERDICT next #4; round 9
+# added "arrow"):
 #   "exploded"   — explode shingles, ONE hash shuffle, 32 min-aggregates
 #                  (partial agg collapses each partition to one row per
 #                  doc before the exchange);
@@ -199,14 +202,112 @@ _AB = [(((17 + 13 * i) * 2654435761) % _P or 1, ((23 + 7 * i) * 40503) % _P)
 #                  with higher-order functions and take the 32 lane
 #                  minima in place — ZERO shuffles, the signature is a
 #                  pure projection of the documents scan.
-# Both produce bit-identical signatures (same xxhash64 -> affine -> min
-# per lane; pytest-pinned); the default is the A/B winner on the bench
-# corpus (BENCH/MINHASH_AB.md: exploded 3.78s vs scan_local 6.52s best,
-# median ratio 1.73x — higher-order functions evaluate interpreted,
-# per element and per lane, while the exploded path keeps the lane
-# arithmetic and the 32 min-buffers inside whole-stage codegen; the
-# explode's row volume is cheaper than the HOF's allocation).
-MINHASH_SIGNATURE_MODE = "exploded"
+#   "arrow"      — never explode: one pandas UDF computes all 32 lane
+#                  minima per doc with vectorized numpy (an exact
+#                  reimplementation of xxhash64 for the <=3-byte tail
+#                  path over a flat byte buffer; the affine lanes are 32
+#                  numpy passes + minimum.reduceat). Zero shuffles, zero
+#                  per-shingle JVM expression work; ~10M interpreter-free
+#                  ops replace ~10M codegen'd substring+hash+mod updates.
+# All three produce bit-identical signatures (same xxhash64 -> affine ->
+# min per lane; pytest-pinned incl. NULL/short/non-ascii docs). History:
+# exploded beat scan_local 1.73x (BENCH/MINHASH_AB.md — HOFs evaluate
+# interpreted per element); round 9's arrow variant beat exploded (the
+# VERDICT r8 next-#5 sketch-cost lever): see OPTIMIZATION_r09.md.
+MINHASH_SIGNATURE_MODE = "arrow"
+
+
+_U64 = (1 << 64) - 1
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP5 = 0x27D4EB2F165667C5
+_XXH_SEED = 42  # Spark's fixed xxhash64 seed
+
+
+def _xxh64_3b_vec(b0, b1, b2):
+    """Vectorized XXH64 (seed 42) of exactly-3-byte inputs — the tail
+    path of the public spec (no 8/4-byte blocks for n=3): per byte
+    h ^= b*P5; h = rotl(h,11)*P1, then the avalanche. uint64 numpy
+    arithmetic wraps mod 2^64 exactly like the spec's masking; parity
+    with Spark's xxhash64 is pinned in tests (and golden/xxh.py is the
+    scalar reference)."""
+    p1 = np.uint64(_XP1)
+    p5 = np.uint64(_XP5)
+    h = np.uint64((_XXH_SEED + _XP5 + 3) & _U64)
+    h = np.full(b0.shape, h, dtype=np.uint64)
+    for b in (b0, b1, b2):
+        h ^= b.astype(np.uint64) * p5
+        h = ((h << np.uint64(11)) | (h >> np.uint64(53))) * p1
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_XP2)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XP3)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _minhash_lanes_np(h31, sh_offs):
+    """32 affine-permutation minima per doc from a flat uint64 array of
+    31-bit shingle hashes and doc boundary offsets (len n_docs+1)."""
+    p = np.uint64(_P)
+    out = np.empty((len(sh_offs) - 1, MINHASH_K), dtype=np.int64)
+    starts = sh_offs[:-1]
+    for i, (a, b) in enumerate(_AB):
+        lane = (h31 * np.uint64(a) + np.uint64(b)) % p
+        out[:, i] = np.minimum.reduceat(lane, starts).astype(np.int64)
+    return out
+
+
+def _minhash_sig_rows(texts: pd.Series) -> pd.DataFrame:
+    """Per-batch signature computation for mode="arrow": ASCII docs of
+    >=3 chars take the fully vectorized path (flat byte buffer, 3-byte
+    windows, vectorized xxh64, reduceat minima); NULL, short, and
+    non-ASCII docs take a per-doc fallback through golden/xxh.py that
+    reproduces the exploded path's semantics exactly (NULL -> the bare
+    seed, len<3 -> one whole-text shingle, non-ASCII -> per-CHAR windows
+    hashed over their UTF-8 bytes)."""
+    from ..golden.xxh import xxh64
+
+    n = len(texts)
+    out = np.empty((n, MINHASH_K), dtype=np.int64)
+    fast_rows: list[int] = []
+    fast_bufs: list[bytes] = []
+    fast_lens: list[int] = []
+    mask31 = (1 << 31) - 1
+    for r, t in enumerate(texts):
+        if t is None:
+            h = np.array([_XXH_SEED & mask31], dtype=np.uint64)
+            out[r] = _minhash_lanes_np(h, np.array([0, 1]))[0]
+            continue
+        b = t.encode("utf-8")
+        if len(b) == len(t) and len(t) >= 3:
+            fast_rows.append(r)
+            fast_bufs.append(b)
+            fast_lens.append(len(b))
+        else:
+            if len(t) < 3:
+                hs = [xxh64(b, _XXH_SEED) & mask31]
+            else:  # non-ASCII: 3-CHAR windows over UTF-8 bytes
+                hs = [xxh64(t[i:i + 3].encode("utf-8"), _XXH_SEED) & mask31
+                      for i in range(len(t) - 2)]
+            h = np.asarray(hs, dtype=np.uint64)
+            out[r] = _minhash_lanes_np(h, np.array([0, len(h)]))[0]
+    if fast_rows:
+        buf = np.frombuffer(b"".join(fast_bufs), dtype=np.uint8)
+        lens = np.asarray(fast_lens, dtype=np.int64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        valid = np.ones(len(buf), dtype=bool)
+        valid[offs[1:] - 1] = False
+        valid[offs[1:] - 2] = False
+        widx = np.flatnonzero(valid)
+        h31 = (_xxh64_3b_vec(buf[widx], buf[widx + 1], buf[widx + 2])
+               & np.uint64(mask31))
+        sh_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens - 2, out=sh_offs[1:])
+        out[np.asarray(fast_rows)] = _minhash_lanes_np(h31, sh_offs)
+    return pd.DataFrame({f"mh{i}": out[:, i] for i in range(MINHASH_K)})
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str,
@@ -218,9 +319,26 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str,
     the set-dedup shuffle the exact-Jaccard path pays."""
     mode = mode or MINHASH_SIGNATURE_MODE
     d = load(spark, sf_dir, "documents")
+    if mode == "arrow":
+        from pyspark.sql import types as T
+
+        sig_udf = F.pandas_udf(
+            _minhash_sig_rows,
+            T.StructType([T.StructField(f"mh{i}", T.LongType())
+                          for i in range(MINHASH_K)]))
+        # non-deterministic mark: stop the optimizer from duplicating
+        # the UDF below future filters (guide par.4.4); values are
+        # deterministic
+        sig_udf = sig_udf.asNondeterministic()
+        return (d.select("doc_id", sig_udf("text").alias("_s"))
+                .select("doc_id", "_s.*"))
     if mode == "scan_local":
-        # docs with NULL text produce no exploded rows, hence no
-        # signature row — mirror that here (filter, then project)
+        # NULL-text docs DO emit a signature on the exploded path:
+        # greatest() skips NULLs so sequence(1, greatest(NULL-2, 1)) is
+        # [1], substring(NULL, ...) is NULL, and xxhash64(NULL) returns
+        # the seed — the same expressions here reproduce that row
+        # bit-for-bit, so no isNotNull filter (round-8 advice: the old
+        # filter dropped NULL-text docs that the exploded path kept)
         idx = F.sequence(F.lit(1),
                          F.greatest(F.length("text") - 2, F.lit(1)))
         h_arr = F.transform(
@@ -230,8 +348,7 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str,
         # materialize h_arr behind a projection boundary: a transform is
         # not "cheap", so CollapseProject will NOT inline it 32x into
         # the lane expressions below
-        withh = (d.filter(F.col("text").isNotNull())
-                 .select("doc_id", h_arr.alias("h_arr")))
+        withh = d.select("doc_id", h_arr.alias("h_arr"))
         def lane(a: int, b: int):
             # a real closure, not default-args: pyspark counts EVERY
             # named parameter when binding lambda variables, so
@@ -310,10 +427,70 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
-def doc_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully JVM-side:
-    token -> xxhash64 -> per-bit +/- vote -> sign vector -> u64."""
+# simhash construction strategy (round 9, the same sketch-cost lever as
+# MINHASH_SIGNATURE_MODE="arrow"):
+#   "exploded" — explode tokens, xxhash64 per token, 63 conditional SUM
+#                aggregates per doc (one hash shuffle; ~63 agg-buffer
+#                updates per token row);
+#   "arrow"    — one mapInPandas pass: Java-semantics tokenization
+#                (trim strips 0x20 only; split keeps leading/trailing
+#                empty tokens; the ASCII [ \t\n\x0B\f\r]+ class — all
+#                three pinned empirically in tests), memoized
+#                golden/xxh.py token hashes, numpy bit votes. Zero
+#                shuffles; a NULL-text doc emits no row, exactly like
+#                explode(NULL).
+# Bit-identical outputs (pytest-pinned incl. adversarial whitespace).
+SIMHASH_MODE = "arrow"
+
+# Java \s is ASCII-only: [ \t\n\x0B\f\r]. Python's \s would additionally
+# match unicode spaces (e.g. \xa0), which Spark's split does NOT.
+_JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def doc_simhash64(spark: SparkSession, sf_dir: str,
+                  mode: str | None = None) -> DataFrame:
+    """64-bit SimHash over whitespace tokens:
+    token -> xxhash64 -> per-bit +/- vote -> sign vector -> u64.
+    ``mode`` (default SIMHASH_MODE) picks the construction strategy
+    above; outputs are bit-identical."""
+    mode = mode or SIMHASH_MODE
     d = load(spark, sf_dir, "documents")
+    if mode == "arrow":
+        import re
+
+        ws_re = re.compile(_JAVA_WS)
+
+        def compute(batches):
+            from ..golden.xxh import xxh64
+
+            memo: dict[str, int] = {}
+            shifts = np.arange(63, dtype=np.uint64)
+            pow2 = np.uint64(1) << shifts
+            for pdf in batches:
+                ids: list[int] = []
+                sims: list[int] = []
+                for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                    if t is None:
+                        continue  # explode(split(trim(NULL))) emits no row
+                    toks = ws_re.split(t.strip(" "))
+                    hs = np.empty(len(toks), dtype=np.uint64)
+                    for j, tok in enumerate(toks):
+                        h = memo.get(tok)
+                        if h is None:
+                            h = xxh64(tok.encode("utf-8"), _XXH_SEED)
+                            memo[tok] = h
+                        hs[j] = h
+                    c = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                    votes = 2 * c.astype(np.int64) - len(toks)
+                    ids.append(doc_id)
+                    sims.append(int(pow2[votes > 0].sum()))
+                yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                    "simhash": pd.Series(sims,
+                                                         dtype="int64")})
+
+        return (d.select("doc_id", "text")
+                .mapInPandas(compute, "doc_id long, simhash long")
+                .orderBy("doc_id"))
     toks = (
         d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+"))
                  .alias("tok"))

@@ -49,6 +49,7 @@ def run_pipeline(
     native_detok: bool = False,
     cache_parsed: bool = False,
     cache_lines: bool = True,
+    marker_prefilter: bool = True,
 ) -> PipelineResult:
     """cache_parsed: persist the parsed projection. Default False: the
     markers scan re-runs detok+parse (map-only, cheap) instead of building
@@ -72,13 +73,14 @@ def run_pipeline(
     lines_cached = None
     if cache and cache_lines:
         lines_cached = (grammar.detokenize_lines(token_df,
-                                                 native=native_detok)
+                                                 native=native_detok,
+                                                 keep_tokens=False)
                         .select("doc_id", "source", "line").persist())
         src = lines_cached
     if use_pandas_grok:
-        parsed = grammar.parse_lines_pandas(src)
+        parsed_full = grammar.parse_lines_pandas(src)
     else:
-        parsed = grammar.parse_lines(src, native_detok=native_detok)
+        parsed_full = grammar.parse_lines(src, native_detok=native_detok)
 
     # The projection is the slim downstream set: every predicate that only
     # needs a raw string is already a boolean flag, so the wide raw columns
@@ -87,7 +89,7 @@ def run_pipeline(
     # that means the detok UDF runs twice — measured cheaper and
     # better-scaling than building a full-width memory store once
     # (cache_parsed=True restores the single-parse plan).
-    parsed = parsed.select(
+    slim_cols = [
         "log_id", "line_no", "ts", "src_raw", "tgt_raw",
         "src_player", "src_name", "tgt_name", "skill",
         "spell_id", "effect_id",
@@ -96,11 +98,33 @@ def run_pipeline(
         "is_fa", "is_event_verb", "is_apply_verb", "is_remove_verb",
         "m_miss", "m_absorb", "m_resist", "m_dodge", "m_dodge_single",
         "m_shield", "m_immune", "skill_has_revive", "tgt_has_at",
-    )
+    ]
+    parsed = parsed_full.select(*slim_cols)
     if cache and cache_parsed:
         parsed = parsed.persist()
 
-    fights = build_fights(parsed)
+    # Round 9 (guide par.2.3/par.1.2 — don't compute what you throw away):
+    # the markers pass only keeps rows whose EFFECT field contains one of
+    # three distinctive brace-wrapped ids, i.e. ~0.1% of events, yet it
+    # paid the full field split + typed projection for every row. A
+    # raw-line `contains` pre-filter is a strict SUPERSET of the marker
+    # predicate (the effect field is a substring of the line), costs three
+    # substring scans instead of a regex split, and pushes down to the
+    # line cache / token scan — the split now runs on survivors only.
+    # The exact flag filter in build_fights still decides membership, so
+    # results are identical by construction (filter(superset) then
+    # filter(exact) == filter(exact); pinned in test_e2e_oracle).
+    if marker_prefilter and not (cache and cache_parsed):
+        # (with cache_parsed the single full-width store IS the cheap
+        # source — re-deriving from the line would parse a second time)
+        from ..constants import DEATH, ENTER_COMBAT, LEAVE_COMBAT
+        pre = (F.col("line").contains(ENTER_COMBAT)
+               | F.col("line").contains(LEAVE_COMBAT)
+               | F.col("line").contains(DEATH))
+        marker_src = parsed_full.filter(pre).select(*slim_cols)
+    else:
+        marker_src = parsed
+    fights = build_fights(marker_src)
     if cache:
         fights = fights.cache()
 

@@ -675,6 +675,93 @@ def test_minhash_signature_modes_bit_identical(spark, sf01):
     assert len(a) > 0 and a == b
 
 
+def test_minhash_arrow_mode_bit_identical(spark, sf01):
+    """Round 9: the vectorized-numpy signature mode must reproduce the
+    exploded path bit-for-bit on the real corpus (same xxhash64 ->
+    affine -> min per lane)."""
+    a = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, sf01, mode="exploded").collect())
+    b = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, sf01, mode="arrow").collect())
+    assert len(a) > 0 and a == b
+
+
+def test_minhash_arrow_mode_edge_docs(spark, tmp_path):
+    """The arrow mode's fallback lanes: NULL text (bare-seed hash),
+    len<3 (one whole-text shingle), non-ASCII (3-char windows hashed
+    over UTF-8 bytes), and empty text must all match the exploded
+    path exactly."""
+    rows = [(0, "s", "the quick brown fox jumps over the lazy dog"),
+            (1, "s", None),
+            (2, "s", "ab"),
+            (3, "s", ""),
+            (4, "s", "café naïve résumé déjà vu"),
+            (5, "s", "x"),
+            (6, "s", "éé")]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    a = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, str(tmp_path), mode="exploded").collect())
+    b = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, str(tmp_path), mode="arrow").collect())
+    assert len(a) == 7 and a == b
+
+
+def test_simhash_arrow_mode_bit_identical(spark, sf01):
+    """Round 9: the mapInPandas simhash must reproduce the exploded
+    JVM path bit-for-bit on the real corpus."""
+    a = sorted(tuple(r) for r in text.doc_simhash64(
+        spark, sf01, mode="exploded").collect())
+    b = sorted(tuple(r) for r in text.doc_simhash64(
+        spark, sf01, mode="arrow").collect())
+    assert len(a) > 0 and a == b
+
+
+def test_simhash_arrow_mode_edge_docs(spark, tmp_path):
+    """Tokenization parity pins for the arrow mode: Spark's trim strips
+    0x20 ONLY, split keeps leading/trailing empty tokens, Java \\s is
+    ASCII-only (\\xa0 is NOT whitespace), NULL docs emit no row."""
+    rows = [(0, "s", "plain token stream here"),
+            (1, "s", None),                      # no output row
+            (2, "s", "\tx y\t"),                 # edge empties survive trim
+            (3, "s", " x  y "),                  # 0x20 trimmed, run collapsed
+            (4, "s", "x\xa0y"),                  # nbsp is ONE token
+            (5, "s", ""),                        # one empty token
+            (6, "s", "\x0b a \x0c"),             # VT/FF are whitespace
+            (7, "s", "caf\xe9 na\xefve")]        # non-ascii token bytes
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    a = sorted(tuple(r) for r in text.doc_simhash64(
+        spark, str(tmp_path), mode="exploded").collect())
+    b = sorted(tuple(r) for r in text.doc_simhash64(
+        spark, str(tmp_path), mode="arrow").collect())
+    assert len(a) == 7 and a == b  # doc 1 absent in both
+
+
+def test_minhash_signature_modes_match_on_null_text(spark, tmp_path):
+    """Round-8 advice: the exploded path emits a signature row for a
+    NULL-text doc (greatest() skips NULLs -> sequence [1] ->
+    substring(NULL) -> xxhash64(NULL) == the seed), and scan_local must
+    reproduce it instead of silently dropping the doc."""
+    rows = [(0, "src0", "the quick brown fox jumps over the dog"),
+            (1, "src0", None),
+            (2, "src1", "the quick brown fox jumps over the dog")]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    a = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, str(tmp_path), mode="exploded").collect())
+    b = sorted(tuple(r) for r in text.doc_minhash_signatures(
+        spark, str(tmp_path), mode="scan_local").collect())
+    assert len(a) == 3, a  # the NULL-text doc has a signature row
+    assert a == b
+
+
 def test_minhash_scan_local_signature_has_no_shuffle(spark, sf01):
     """scan_local's whole point: the signature is a projection of the
     documents scan — zero exchanges before banding."""
