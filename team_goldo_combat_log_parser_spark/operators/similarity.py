@@ -25,22 +25,6 @@ N_QUERIES = 10  # vec_id < N_QUERIES form the query set
 TOP_K = 5
 
 
-def _dot_decimal_pairs(q: DataFrame, e: DataFrame) -> DataFrame:
-    """Exact decimal dot products between query and candidate vectors.
-    Elements are cast to DECIMAL(18,9) before multiply/sum, which makes the
-    result independent of summation order (and engine)."""
-    pairs = q.crossJoin(e).filter(F.col("qid") != F.col("vec_id"))
-    prod = F.zip_with(
-        "qv", "embedding",
-        lambda a, b: a.cast("decimal(18,9)") * b.cast("decimal(18,9)"))
-    # the merge lambda re-casts to keep the accumulator type fixed at
-    # decimal(38,18) — decimal addition otherwise widens and fails analysis
-    dot = F.aggregate(
-        prod, F.lit(0).cast("decimal(38,18)"),
-        lambda acc, x: (acc + x).cast("decimal(38,18)"))
-    return pairs.withColumn("dot", dot)
-
-
 def _norm_decimal(col: str):
     sq = F.transform(col, lambda x: x.cast("decimal(18,9)") * x.cast("decimal(18,9)"))
     return F.aggregate(sq, F.lit(0).cast("decimal(38,18)"),
@@ -48,19 +32,49 @@ def _norm_decimal(col: str):
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the first N_QUERIES vectors."""
-    e = load(spark, sf_dir, "embeddings").withColumn("norm2", _norm_decimal("embedding"))
+    """Brute-force cosine top-k for the first N_QUERIES vectors.
+
+    Round 9 (guide par.1.2 per-task work): the exact DECIMAL dot —
+    boxed BigDecimal arithmetic, ~10x per element vs a codegen'd double
+    fold — is now paid only by pairs that can actually reach the top-K.
+    A double-precision fold ranks all pairs first; every pair whose fast
+    cosine is within 1e-6 of its query's K-th fast cosine survives to
+    the exact pass. |fast - exact| is bounded by the decimal(18,9)
+    per-element rounding plus double summation error (~1e-8 total, six
+    orders under the margin), and the K-th order statistic of two lists
+    that differ elementwise by at most d itself differs by at most d —
+    so every true top-K pair clears the margin filter and the final
+    DECIMAL ranking (ties by vec_id) is identical to ranking all pairs.
+    Value parity is held by the unchanged DuckDB oracle."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "norm2", _norm_decimal("embedding"))
     q = (e.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
                  F.col("norm2").alias("qnorm2")))
-    scored = (
-        _dot_decimal_pairs(q, F.broadcast(e).drop("label"))
-        .withColumn(
-            "cosine",
-            F.col("dot").cast("double")
-            / (F.sqrt(F.col("qnorm2").cast("double"))
-               * F.sqrt(F.col("norm2").cast("double"))))
-    )
+    pairs = (q.crossJoin(F.broadcast(e).drop("label"))
+             .filter(F.col("qid") != F.col("vec_id")))
+    denom = (F.sqrt(F.col("qnorm2").cast("double"))
+             * F.sqrt(F.col("norm2").cast("double")))
+    fast = F.aggregate(
+        F.zip_with("qv", "embedding",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x) / denom
+    w_fast = Window.partitionBy("qid").orderBy(F.desc("fast"), "vec_id")
+    kth = F.min(F.when(F.col("rf") <= TOP_K, F.col("fast"))).over(
+        Window.partitionBy("qid"))
+    surv = (pairs.withColumn("fast", fast)
+            .withColumn("rf", F.row_number().over(w_fast))
+            .withColumn("kth", kth)
+            .filter(F.col("fast")
+                    >= F.coalesce(F.col("kth"), F.lit(float("-inf")))
+                    - F.lit(1e-6)))
+    prod = F.zip_with(
+        "qv", "embedding",
+        lambda a, b: a.cast("decimal(18,9)") * b.cast("decimal(18,9)"))
+    dot = F.aggregate(
+        prod, F.lit(0).cast("decimal(38,18)"),
+        lambda acc, x: (acc + x).cast("decimal(38,18)"))
+    scored = surv.withColumn("cosine", dot.cast("double") / denom)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     # floor(x*1e6) instead of round(): round() tie-breaking on doubles
     # differs between engines; floor of identical doubles is identical.
@@ -607,6 +621,25 @@ def emb_ivf_ann(spark: SparkSession, sf_dir: str,
 NEAR_DUP_THRESHOLD = 0.35
 
 
+@F.pandas_udf(T.DoubleType())
+def _dot_f64_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """Double-precision dot product per row — one numpy einsum per Arrow
+    batch. Used ONLY as a prefilter signal behind a 1e-6 margin: numpy's
+    summation order differs from a left fold by ~1e-13 relative, six
+    orders below the margin, so prefilter decisions are unaffected (the
+    exact DECIMAL dot still decides every borderline pair)."""
+    if len(xs) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
+    b = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
+    return pd.Series(np.einsum("ij,ij->i", a, b))
+
+
+# values are deterministic; the mark stops the optimizer duplicating the
+# UDF around the filter that consumes it (guide par.4.4)
+_dot_f64_udf = _dot_f64_udf.asNondeterministic()
+
+
 def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
                         threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS — the dedup-shaped variant
@@ -627,11 +660,18 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
     dups use 0.9+ where the banding recall is what makes this exact-in-
     practice."""
     e = load(spark, sf_dir, "embeddings")
-    # one checkpointed postings relation feeds BOTH self-join sides: the
-    # signature UDF runs once per call instead of once per side (and,
-    # before the round-9 non-deterministic mark, twice per side — the
-    # optimizer duplicated it below its own generated filters)
-    banded = _banded_postings(spark, sf_dir)
+    # ONE checkpointed base relation (vec_id, embedding, band keys,
+    # decimal norm2) feeds all four consumers — both banding self-join
+    # sides and both attach sides. One corpus pass materializes the
+    # signature UDF and the per-element decimal norm fold ONCE (round 9;
+    # previously: the UDF ran twice per side — four times — and the norm
+    # fold twice; same localCheckpoint-not-cache rationale as
+    # doc_minhash_lsh_pairs).
+    base = (e.withColumn("bkeys", _band_keys_udf("embedding"))
+            .withColumn("norm2", _norm_decimal("embedding"))
+            .localCheckpoint(eager=True))
+    banded = base.select(
+        "vec_id", F.posexplode("bkeys").alias("band", "bkey"))
     pairs = (
         banded.alias("x").join(
             banded.alias("y"),
@@ -641,22 +681,22 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str,
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
     )
-    n = e.withColumn("norm2", _norm_decimal("embedding"))
+    n = base
     ea = n.select(F.col("vec_id").alias("a"), F.col("embedding").alias("av"),
                   F.col("norm2").alias("an2"))
     eb = n.select(F.col("vec_id").alias("b"), F.col("embedding").alias("bv"),
                   F.col("norm2").alias("bn2"))
-    # two-phase scoring: a cheap double-precision prefilter (codegen'd
-    # float fold) cuts the ~100x-larger candidate set down to near-
-    # threshold pairs, and only those pay the exact DECIMAL dot (boxed
-    # BigDecimal arithmetic, ~10x slower per element). The 1e-6 margin
-    # dwarfs double-vs-decimal rounding (~1e-15 relative), so the final
-    # decimal-based threshold decides every borderline pair — the
-    # prefilter can only drop pairs decisively below it.
-    dot_fast = F.aggregate(
-        F.zip_with("av", "bv",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # two-phase scoring: a cheap double-precision prefilter (round 9:
+    # one numpy einsum per Arrow batch — the interpreted per-element
+    # JVM fold it replaces was ~1s of this query at sf0.1) cuts the
+    # ~100x-larger candidate set down to near-threshold pairs, and only
+    # those pay the exact DECIMAL dot (boxed BigDecimal arithmetic,
+    # ~10x slower per element). The 1e-6 margin dwarfs both
+    # double-vs-decimal rounding and numpy-vs-fold summation order
+    # (~1e-13 relative), so the final decimal-based threshold decides
+    # every borderline pair — the prefilter can only drop pairs
+    # decisively below it.
+    dot_fast = _dot_f64_udf("av", "bv")
     dot = F.aggregate(
         F.zip_with("av", "bv",
                    lambda x, y: x.cast("decimal(18,9)")

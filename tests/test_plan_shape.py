@@ -70,9 +70,15 @@ def test_combat_routed_shuffle_budget(spark):
     assert nodes.count("BroadcastHashJoin") == 1, nodes
     assert nodes.count("SortMergeJoin") == 0, nodes
     assert nodes.count("Window") == 2, nodes
-    # the parse is map-only: Arrow UDF evals (detok) appear, but no
-    # exchange sits between a token scan and its ArrowEvalPython
-    assert nodes.count("ArrowEvalPython") == 3, nodes
+    # the parse is map-only. Round 9: detok is a MapInArrow barrier —
+    # exactly ONE per branch (markers + routed). The pre-round-9 plan
+    # showed 3 ArrowEvalPython for the same two branches because the
+    # optimizer duplicated the markers-branch detok UDF below its own
+    # pushed-down filter (guide par.4.4); the barrier form cannot be
+    # duplicated, so a count regression here means a third parse pass
+    # appeared.
+    assert nodes.count("MapInArrow") == 2, nodes
+    assert nodes.count("ArrowEvalPython") == 0, nodes
 
 
 def test_near_dup_plan_is_banded_not_cartesian(spark, sf001):

@@ -247,6 +247,29 @@ def test_cosine_near_dup_matches_bruteforce(spark, sf001):
     assert got == want and len(got) > 10, (len(got), len(want))
 
 
+def test_ivf_candidates_unique(spark, sf001):
+    """Round 9 removed emb_ivf_ann's candidate .distinct() on the
+    grounds that (qid, vec_id) pairs are unique by construction: argmax
+    assigns each data vector to exactly ONE cell, and a query's nprobe
+    probe cells are distinct column indices. Re-derive both halves of
+    that argument against the live model."""
+    from pyspark.sql import functions as F
+
+    from team_goldo_combat_log_parser_spark.operators.relational import load
+    from team_goldo_combat_log_parser_spark.operators.similarity import (
+        _ivf_assign_udf, ivf_model)
+
+    cents = ivf_model(spark, sf001)
+    e = load(spark, sf001, "embeddings")
+    per_vec = (e.withColumn("cell", _ivf_assign_udf(cents)("embedding"))
+               .groupBy("vec_id")
+               .agg(F.countDistinct("cell").alias("n_cells"),
+                    F.count(F.lit(1)).alias("n_rows")))
+    bad = per_vec.filter((F.col("n_cells") != 1)
+                         | (F.col("n_rows") != 1)).count()
+    assert bad == 0  # one cell per vector -> no duplicate candidates
+
+
 def test_ivf_ann_recall_vs_bruteforce(spark, sf001):
     """IVF top-k must overlap the exact brute-force top-k substantially
     (nprobe=4 of 16 cells), and the plan must be cell-equi-join-shaped:
