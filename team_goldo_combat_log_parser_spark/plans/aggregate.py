@@ -123,17 +123,33 @@ def heal_per_healer(routed: DataFrame, fights: DataFrame) -> DataFrame:
     amount contains the ABSORB id and did not miss credit the absorbed
     value to the last Force-Armor caster — unless absorbed > raw (a pure
     shield absorb, excluded). The pull player always appears with >= 0.
+
+    Round 9: the healer as-of attribution runs HERE, over the sparse
+    union of the only rows that matter to it — FA casts (any combat
+    state), exit rows, and the live absorb rows that consume the value —
+    instead of as a full-corpus window inside the routed projection (see
+    route.healer_asof for the exactness argument). The attribution
+    window's exchange now carries ~0.1% of events.
     """
+    from .route import healer_asof
+
     live = _live(routed)
     direct = (
         live.filter(F.col("r_heal"))
         .select(*FIGHT_KEY, F.col("fight_player").alias("healer"),
                 F.col("amount").alias("val"))
     )
+    is_absorb_credit = (
+        F.col("r_damage_received") & F.col("m_absorb") & ~F.col("m_miss")
+        & (F.col("absorbed") <= F.col("amount"))
+        # the _live predicate, row-local so it can tag the sparse union
+        & F.col("fight_seq").isNotNull() & F.col("finished")
+        & ~F.coalesce(F.col("is_duplicate"), F.lit(False)))
+    sparse = routed.filter(F.col("r_fa") | F.col("is_exit_row")
+                           | is_absorb_credit)
     absorb = (
-        live.filter(F.col("r_damage_received") & F.col("m_absorb")
-                    & ~F.col("m_miss")
-                    & (F.col("absorbed") <= F.col("amount")))
+        healer_asof(sparse)
+        .filter(is_absorb_credit)
         .select(*FIGHT_KEY, F.col("healer_id").alias("healer"),
                 F.col("absorbed").alias("val"))
     )

@@ -36,7 +36,15 @@ def with_routes(assigned: DataFrame) -> DataFrame:
     to_has_player = F.col("tgt_raw").contains(F.col("fight_player"))
     is_exit_row = in_fight & F.col("finished") & (F.col("line_no") == F.col("end_line"))
 
-    df = assigned.select(
+    # Round 9: the routed projection is now MAP-ONLY — no window, no
+    # exchange. The healer as-of attribution (previously computed here
+    # for EVERY row via one full-event window exchange) moved to
+    # ``healer_asof`` below, evaluated over the SPARSE union of the only
+    # rows that can affect or consume it (FA casts, exit rows, absorb
+    # rows — aggregate.heal_per_healer is the sole consumer). The one
+    # shuffle that moved every event's ~40 columns is gone from the hot
+    # path (guide par.2.4: remove shuffles outright).
+    return assigned.select(
         "*",
         gate.alias("gate_open"),
         is_exit_row.alias("is_exit_row"),
@@ -55,12 +63,25 @@ def with_routes(assigned: DataFrame) -> DataFrame:
         # ignore-pull gate when inside a duplicate fight.
         (F.col("is_fa") & F.col("tgt_has_at") & (~in_fight | gate)).alias("r_fa"),
     ).drop("src_raw", "tgt_raw")
-    # raws dropped BEFORE the window: every routing predicate that needed
-    # them is now a boolean flag, and the healer window's exchange would
-    # otherwise shuffle ~60 bytes/row of strings nothing downstream reads
+    # raws dropped here: every routing predicate that needed them is now
+    # a boolean flag nothing downstream re-derives
 
-    # healer-as-of: one window partitioning (log_id, ordered by line_no)
-    # shared by all three functions -> a single exchange+sort.
+
+def healer_asof(rows: DataFrame) -> DataFrame:
+    """Healer as-of attribution over a row subset: adds ``healer_id`` =
+    the last Force-Armor caster at-or-before each row whose cast is
+    later than the last exit strictly before the row (reference
+    main.py:251-253 — initialize_pull resets the healer).
+
+    EXACTNESS over a subset: a window value at row r depends only on
+    rows <= r in the same (log_id, line_no) order, and only FA rows and
+    exit rows contribute to the three functions below — so evaluating
+    over any subset that CONTAINS every FA row, every exit row, and the
+    consuming rows yields identical healer_id values at the consuming
+    rows as the former full-corpus window (pinned against the oracle's
+    full-window SQL derivation by the combat_heal/rates/chart parity
+    rows). heal_per_healer passes the sparse union (~0.1% of events), so
+    the attribution exchange shuffles thousands of rows, not all of them."""
     w = Window.partitionBy("log_id").orderBy("line_no")
     w_cur = w.rowsBetween(Window.unboundedPreceding, 0)
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
@@ -73,7 +94,7 @@ def with_routes(assigned: DataFrame) -> DataFrame:
         h_line.isNotNull() & (last_exit.isNull() | (h_line > last_exit)),
         h_name,
     )
-    return df.select("*", healer.alias("healer_id"))
+    return rows.select("*", healer.alias("healer_id"))
 
 
 def sink_filters(routed: DataFrame) -> dict[str, DataFrame]:

@@ -48,12 +48,15 @@ def test_broadcast_enrich_is_broadcast(spark):
 
 def test_combat_routed_shuffle_budget(spark):
     """Pin the combat pipeline's shuffle budget (SCALE.md): the routed
-    plan must contain exactly THREE hash exchanges — (1) the bounded
+    plan must contain exactly TWO hash exchanges — (1) the bounded
     markers shuffle feeding the fight state machine (O(#fights) rows),
-    (2) the fights dedup window (O(#fights)), (3) the ONE full-event
-    window exchange shared by healer as-of and routing — plus a
-    broadcast (not shuffled) fights join. A regression that adds a
-    fourth exchange or demotes the broadcast join changes these counts.
+    (2) the fights dedup window (O(#fights)) — plus a broadcast (not
+    shuffled) fights join. Round 9 removed the former third exchange
+    (the full-event healer-as-of window): the routed projection is now
+    MAP-ONLY on the event side, and healer attribution runs over the
+    sparse FA/exit/absorb union inside heal_per_healer. A regression
+    that adds an event-side exchange or demotes the broadcast join
+    changes these counts.
     """
     import re
 
@@ -66,10 +69,10 @@ def test_combat_routed_shuffle_budget(spark):
     plan = plan_of(res.routed)
     nodes = [re.sub(r"^\s*\(\d+\)\s*", "", ln).strip()
              for ln in plan.splitlines() if re.match(r"^\s*\(\d+\)", ln)]
-    assert nodes.count("Exchange") == 3, nodes
+    assert nodes.count("Exchange") == 2, nodes
     assert nodes.count("BroadcastHashJoin") == 1, nodes
     assert nodes.count("SortMergeJoin") == 0, nodes
-    assert nodes.count("Window") == 2, nodes
+    assert nodes.count("Window") == 1, nodes
     # the parse is map-only. Round 9: detok is a MapInArrow barrier —
     # exactly ONE per branch (markers + routed). The pre-round-9 plan
     # showed 3 ArrowEvalPython for the same two branches because the
@@ -79,6 +82,40 @@ def test_combat_routed_shuffle_budget(spark):
     # appeared.
     assert nodes.count("MapInArrow") == 2, nodes
     assert nodes.count("ArrowEvalPython") == 0, nodes
+
+
+def test_healer_asof_sparse_equals_full_window(spark):
+    """Round 9 moved healer attribution off the full-event window onto
+    the sparse FA/exit/absorb union. The exactness claim — window values
+    at a row depend only on rows <= it, and only FA/exit rows feed the
+    three window functions — is re-derived here: healer_asof over the
+    FULL routed frame and over the sparse union must agree on every
+    absorb-credit row."""
+    from pyspark.sql import functions as F
+
+    from team_goldo_combat_log_parser_spark.plans.pipeline import run_pipeline
+    from team_goldo_combat_log_parser_spark.plans.route import healer_asof
+    from team_goldo_combat_log_parser_spark.sources import datagen as dg
+
+    logs = [dg.sample_file_log(),
+            *dg.synth_corpus(dg.GenConfig(n_logs=2, fights_per_log=3,
+                                          rows_per_fight=60, seed=7))]
+    res = run_pipeline(spark, dg.token_df(spark, logs), cache=False)
+    routed = res.routed
+    credit = (F.col("r_damage_received") & F.col("m_absorb")
+              & ~F.col("m_miss") & (F.col("absorbed") <= F.col("amount"))
+              & F.col("fight_seq").isNotNull() & F.col("finished")
+              & ~F.coalesce(F.col("is_duplicate"), F.lit(False)))
+    full = {(r["log_id"], r["line_no"]): r["healer_id"]
+            for r in healer_asof(routed).filter(credit)
+            .select("log_id", "line_no", "healer_id").collect()}
+    sparse_rows = routed.filter(F.col("r_fa") | F.col("is_exit_row")
+                                | credit)
+    sparse = {(r["log_id"], r["line_no"]): r["healer_id"]
+              for r in healer_asof(sparse_rows).filter(credit)
+              .select("log_id", "line_no", "healer_id").collect()}
+    assert len(full) > 0  # the sample log has absorb credits
+    assert sparse == full
 
 
 def test_near_dup_plan_is_banded_not_cartesian(spark, sf001):
