@@ -88,6 +88,11 @@ def _detok_arrow_array(arr) -> "object":
     n = len(arr)
     if n == 0:
         return pa.array([], type=pa.string())
+    if arr.null_count:
+        # a null token array has no defined line; the old pandas path
+        # crashed on it too — fail loudly rather than silently misalign
+        # the offset arithmetic below
+        raise ValueError("detokenize: null token array in batch")
     lens = np.asarray(pc.list_value_length(arr), dtype=np.int64)
     v = np.asarray(arr.flatten()).astype(np.uint8)  # same wrap as _detok_udf
     offs = np.zeros(n + 1, dtype=np.int64)

@@ -472,6 +472,10 @@ def doc_simhash64(spark: SparkSession, sf_dir: str,
                 for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                     if t is None:
                         continue  # explode(split(trim(NULL))) emits no row
+                    if len(memo) > 1_000_000:
+                        # bound the per-task hash memo on pathological
+                        # vocabularies (normal corpora never get close)
+                        memo.clear()
                     toks = ws_re.split(t.strip(" "))
                     hs = np.empty(len(toks), dtype=np.uint64)
                     for j, tok in enumerate(toks):
